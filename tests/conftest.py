@@ -1,0 +1,25 @@
+"""Test harness config: run everything on 8 virtual CPU devices.
+
+This is the JAX-native way to exercise the multi-chip sharding path without
+TPU hardware (SURVEY.md §4): XLA's host platform is forced to expose 8
+devices, and sharded train-step tests build a real `jax.sharding.Mesh` over
+them.
+
+Note: this environment's sitecustomize registers an 'axon' TPU platform and
+forces `jax_platforms` at interpreter startup, so the env var alone is not
+enough — we override the config value before any backend is initialized.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = flags + " --xla_force_host_platform_device_count=8"
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+assert jax.default_backend() == "cpu", jax.default_backend()
+assert jax.device_count() == 8, jax.devices()

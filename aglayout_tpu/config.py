@@ -1,0 +1,80 @@
+"""One dataclass config shared by train/test at both resolutions.
+
+Replaces the reference's per-script argparse forks (train64.py:419-467,
+train128.py, test64.py, test128.py): resolution is a parameter, not a file
+fork, and the exp-name convention for artifact addressing is preserved.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass
+class Config:
+    # data
+    dataset: str = "vg"
+    vg_dir: str = "data/vg"
+    image_dir: str = ""  # defaults to <vg_dir>/images
+    batch_size: int = 8
+    max_objects: int = 10  # O_max: dense object slots per image (incl. mask)
+    attribute_dim: int = 106
+    num_classes: int = 179  # overridden from vocab at load time
+
+    # model
+    image_size: int = 64
+    object_size: int = 32
+    embedding_dim: int = 64
+    z_dim: int = 64
+    clstm_layers: int = 3
+    resi_num: int = 6
+
+    # optimization (train64.py:427-446 defaults)
+    niter: int = 900_000
+    learning_rate: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    lambda_img_adv: float = 1.0
+    lambda_obj_adv: float = 1.0
+    lambda_obj_cls: float = 1.0
+    lambda_z_rec: float = 8.0
+    lambda_img_rec: float = 1.0
+    lambda_kl: float = 0.01
+    lambda_att_cls: float = 2.0
+
+    # runtime
+    seed: int = 0
+    data_axis: str = "data"
+    num_devices: int = 0  # 0 = all visible
+    bf16: bool = False  # bf16 compute (f32 params/BN accumulators)
+
+    # logging / checkpointing (train64.py:449-454)
+    resume: str = "l"  # 'l' latest / 's' scratch / explicit step
+    log_step: int = 10
+    tensorboard_step: int = 100
+    save_step: int = 500
+    save_num: int = 2
+    path: str = "checkpoints"
+
+    @property
+    def exp_name(self) -> str:
+        # mirrors the reference exp_name hyperparameter string (train64.py:457-467)
+        return (
+            f"est_change_att_{self.dataset}_bs{self.batch_size}e{self.embedding_dim}"
+            f"z{self.z_dim}clstm{self.clstm_layers}li{self.lambda_img_adv}"
+            f"lo{self.lambda_obj_adv}lc{self.lambda_obj_cls}lz{self.lambda_z_rec}"
+            f"lc{self.lambda_img_rec}lk{self.lambda_kl}"
+        )
+
+    @property
+    def clstm_dims(self) -> Tuple[int, ...]:
+        return {0: (), 1: (64,), 2: (64, 64), 3: (128, 64, 64)}[self.clstm_layers]
+
+
+def config_for(image_size: int = 64, **kw) -> Config:
+    """train64/train128-equivalent presets: 128 uses 64^2 object crops and
+    the extra-block attribute discriminator."""
+    base = dict(image_size=image_size, object_size=32 if image_size == 64 else 64)
+    base.update(kw)
+    return Config(**base)

@@ -1,0 +1,98 @@
+"""Crop realism classification: train + test drivers around ResNet-50.
+
+Reference parity: evaluation/train_resinet50_vg.py (train loop over real
+224^2 object crops, n_class-way CE) and evaluation/test_classification_vg.py
+(accuracy on real vs generated vs shifted crops from the generation
+pickles).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from aglayout_tpu.eval.resnet import ResNet50
+from aglayout_tpu.ops.bilinear import crop_bbox_dense
+from aglayout_tpu.train.losses import cross_entropy
+
+
+def make_crop_classifier(num_classes: int, crop_size: int = 224):
+    model = ResNet50(num_classes=num_classes)
+    tx = optax.adam(1e-4)
+    return model, tx, crop_size
+
+
+def train_crop_classifier(cfg, loader, niter=5000, crop_size=224, lr=1e-4, log_step=50):
+    model = ResNet50(num_classes=cfg.num_classes)
+    tx = optax.adam(lr)
+    dummy = jnp.zeros((2, crop_size, crop_size, 3))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), dummy, train=True
+    )
+    params, stats = variables["params"], variables["batch_stats"]
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, stats, opt, batch):
+        b, o = batch["objs"].shape
+        crops = crop_bbox_dense(batch["imgs"], batch["boxes"], crop_size)
+        crops = crops.reshape(b * o, crop_size, crop_size, 3)
+        labels = batch["objs"].reshape(-1)
+        valid = batch["valid"].reshape(-1)
+
+        def loss_fn(p):
+            logits, mut = model.apply(
+                {"params": p, "batch_stats": stats}, crops, train=True, mutable=["batch_stats"]
+            )
+            return cross_entropy(logits, labels, valid), mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, new_opt = tx.update(grads, opt, params)
+        return optax.apply_updates(params, updates), new_stats, new_opt, loss
+
+    it = iter(loader)
+    for i in range(niter):
+        batch = {k: jnp.asarray(v) for k, v in next(it).items()}
+        params, stats, opt, loss = step(params, stats, opt, batch)
+        if (i + 1) % log_step == 0:
+            print(f"cls iter {i+1}/{niter} loss {float(loss):.4f}", flush=True)
+    return model, params, stats
+
+
+def test_crop_classifier(model, params, stats, pickle_dir, crop_size=224, max_batches=None):
+    """Accuracy on real / generated / shifted crops (reference
+    test_classification_vg.py:44-150)."""
+
+    @jax.jit
+    def predict(imgs, boxes):
+        b, o = boxes.shape[:2]
+        crops = crop_bbox_dense(imgs, boxes, crop_size).reshape(
+            b * o, crop_size, crop_size, 3
+        )
+        logits = model.apply({"params": params, "batch_stats": stats}, crops, train=False)
+        return jnp.argmax(logits, -1)
+
+    counts = {"real": [0, 0], "rand": [0, 0], "shift": [0, 0]}
+    files = sorted(glob.glob(os.path.join(pickle_dir, "batch_*.pkl")))
+    if max_batches:
+        files = files[:max_batches]
+    for f in files:
+        with open(f, "rb") as fh:
+            rec = pickle.load(fh)
+        labels = rec["objs"].reshape(-1)
+        valid = rec["valid"].reshape(-1) > 0
+        for key, imgs, boxes in [
+            ("real", rec["imgs"], rec["boxes"]),
+            ("rand", rec["imgs_rand"], rec["boxes"]),
+            ("shift", rec["imgs_shift"], rec["boxes_shift"]),
+        ]:
+            pred = np.asarray(predict(jnp.asarray(imgs), jnp.asarray(boxes)))
+            counts[key][0] += int(((pred == labels) & valid).sum())
+            counts[key][1] += int(valid.sum())
+    return {k: (c / max(n, 1)) for k, (c, n) in counts.items()}

@@ -1,0 +1,44 @@
+"""Inception Score with splits.
+
+Capability parity with the reference's evaluation/compute_inception_score.py
+(get_inception_score :111-148): IS = exp(E_x KL(p(y|x) || p(y))) computed
+over `splits` equal chunks (default 3, reference :35), reported mean/std.
+
+The classifier producing p(y|x) is pluggable (the reference uses the TF1
+Inception graph, unavailable offline). `classifier_probs_from_state` uses
+our trained ObjectDiscriminator's 179-way head on whole images as an
+offline-safe stand-in (documented deviation; not comparable to published
+Inception-Score numbers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+
+def inception_score_from_probs(probs: np.ndarray, splits: int = 3):
+    """probs: (N, num_classes) softmax outputs."""
+    scores = []
+    n = probs.shape[0]
+    for i in range(splits):
+        part = probs[i * n // splits : (i + 1) * n // splits]
+        py = part.mean(axis=0, keepdims=True)
+        kl = part * (np.log(np.maximum(part, 1e-12)) - np.log(np.maximum(py, 1e-12)))
+        scores.append(float(np.exp(kl.sum(axis=1).mean())))
+    return float(np.mean(scores)), float(np.std(scores))
+
+
+def main():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("probs_npy", help=".npy of (N, C) class probabilities")
+    p.add_argument("--splits", type=int, default=3)
+    args = p.parse_args()
+    mean, std = inception_score_from_probs(np.load(args.probs_npy), args.splits)
+    print(json.dumps({"inception_score_mean": mean, "inception_score_std": std}))
+
+
+if __name__ == "__main__":
+    main()

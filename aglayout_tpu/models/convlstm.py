@@ -1,0 +1,113 @@
+"""ConvLSTM layout fusion as a masked `lax.scan` over the object axis.
+
+TPU-native replacement for the reference's LayoutConvLSTM
+(models/generator_obj_att.py:232-364), which runs a doubly-nested Python
+loop (per image x per object x per layer) over a ragged object list — the
+reference's single biggest XLA-hostility. Here every image carries a static
+O_max object slots with a validity mask; invalid slots carry the LSTM state
+through unchanged (h/c unchanged ⇒ final state equals the reference's state
+after its last real object), and the whole batch advances in one scan step,
+so each step is a large batched 5x5 conv on the MXU.
+
+Layer interleaving note: the reference finishes layer l over the full
+sequence before starting layer l+1; we apply all layers within one timestep.
+The dependence structure is causal in both (h_t^l needs h_t^{l-1} and
+h_{t-1}^l), so the results are identical.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from aglayout_tpu.models.layers import Conv2d
+
+
+class ConvLSTMCell(nn.Module):
+    """Standard 4-gate conv LSTM cell: conv(cat(x, h)) -> i, f, o, g.
+
+    Gate order matches the reference's torch.split (i, f, o, g) at
+    models/generator_obj_att.py:99-114 for checkpoint-importer parity.
+    """
+
+    hidden_dim: int
+    kernel_size: int = 5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, carry, x):
+        h, c = carry
+        z = Conv2d(
+            4 * self.hidden_dim,
+            self.kernel_size,
+            padding=self.kernel_size // 2,
+            use_bias=True,
+            dtype=self.dtype,
+            name="conv",
+        )(jnp.concatenate([x, h], axis=-1))
+        i, f, o, g = jnp.split(z, 4, axis=-1)
+        c_next = nn.sigmoid(f) * c + nn.sigmoid(i) * jnp.tanh(g)
+        h_next = nn.sigmoid(o) * jnp.tanh(c_next)
+        return (h_next, c_next), h_next
+
+
+class _FuserStep(nn.Module):
+    hidden_dims: Tuple[int, ...]
+    kernel_size: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        xt, vt = xs  # (B, H, W, C), (B,)
+        m = vt.astype(xt.dtype)[:, None, None, None]
+        new_carry = []
+        inp = xt
+        for li, hd in enumerate(self.hidden_dims):
+            h, c = carry[li]
+            (h2, c2), _ = ConvLSTMCell(
+                hd, self.kernel_size, dtype=self.dtype, name=f"cell_{li}"
+            )((h, c), inp)
+            h2 = m * h2 + (1 - m) * h
+            c2 = m * c2 + (1 - m) * c
+            new_carry.append((h2, c2))
+            inp = h2
+        return tuple(new_carry), None
+
+
+class LayoutFuser(nn.Module):
+    """Fuse (B, O, H, W, C) per-object features into (B, H, W, hidden[-1]).
+
+    Returns the final hidden state of the last layer — the reference's
+    "last hidden state per image" (models/generator_obj_att.py:341-346).
+    Hidden dims by clstm_layers: 1 -> (64,), 2 -> (64, 64), 3 -> (128, 64, 64)
+    (reference models/generator_obj_att.py:459-464), kernel 5x5.
+    """
+
+    hidden_dims: Tuple[int, ...] = (128, 64, 64)
+    kernel_size: int = 5
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, valid):
+        b, o, h, w, _ = x.shape
+        dtype = self.dtype or x.dtype
+        carry = tuple(
+            (
+                jnp.zeros((b, h, w, hd), dtype),
+                jnp.zeros((b, h, w, hd), dtype),
+            )
+            for hd in self.hidden_dims
+        )
+        scan = nn.scan(
+            _FuserStep,
+            variable_broadcast="params",
+            split_rngs={"params": False},
+            in_axes=1,
+            out_axes=1,
+        )
+        carry, _ = scan(self.hidden_dims, self.kernel_size, self.dtype, name="step")(
+            carry, (x, valid)
+        )
+        return carry[-1][0]

@@ -1,0 +1,350 @@
+"""The layout-to-image VAE-GAN generator, resolution-parameterized.
+
+Capability parity with the reference's models/generator_obj_att.py (64x64)
+and models/generator_obj_att128.py (128x128) — which differ only by an
+adaptive pool in the LayoutEncoder and a 2x upsample tail in the Decoder —
+expressed here as ONE model with `image_size` a parameter (SURVEY.md §2.8).
+
+TPU-first data contract: object-level inputs are dense (B, O_max, ...) with
+a boolean validity mask instead of the reference's ragged flat tensors with
+obj_to_img index juggling. All object-level BatchNorm is masked, the ConvLSTM
+fusion is a masked scan, and ROI crops are MXU einsums.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from aglayout_tpu.models.convlstm import LayoutFuser
+from aglayout_tpu.models.layers import (
+    Conv2d,
+    ConvTranspose2d,
+    Dense,
+    Embed,
+    ResidualBlock,
+    adaptive_avg_pool,
+)
+from aglayout_tpu.models.norms import SPADE, ConditionalBatchNorm, MaskedBatchNorm
+from aglayout_tpu.ops.bilinear import crop_bbox_dense
+
+
+def clstm_hidden_dims(clstm_layers: int) -> Tuple[int, ...]:
+    """Hidden dims by layer count (reference generator_obj_att.py:459-464)."""
+    return {1: (64,), 2: (64, 64), 3: (128, 64, 64)}[clstm_layers]
+
+
+class CropEncoder(nn.Module):
+    """VAE encoder over object crops -> (z, mu, logvar).
+
+    Reference: models/generator_obj_att.py:367-422. Five conv stages
+    64..1024ch with class-conditional BN, adaptive average pool, two heads.
+    """
+
+    num_classes: int
+    z_dim: int
+    conv_dim: int = 64
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, crops, objs, mask, train: bool):
+        # crops: (N, s, s, 3); objs: (N,); mask: (N,)
+        ura = not train
+        d = self.conv_dim
+        specs = [
+            (d, 7, 1, 3),
+            (d * 2, 4, 2, 1),
+            (d * 4, 4, 2, 1),
+            (d * 8, 4, 2, 1),
+            (d * 16, 4, 2, 1),
+        ]
+        h = crops
+        for i, (feats, k, s, p) in enumerate(specs):
+            h = Conv2d(feats, k, stride=s, padding=p, use_bias=False, dtype=self.dtype, name=f"c{i+1}")(h)
+            h = ConditionalBatchNorm(feats, self.num_classes, dtype=self.dtype, name=f"bn{i+1}")(
+                h, objs, mask, ura
+            )
+            h = nn.relu(h)
+        h = jnp.mean(h, axis=(1, 2))  # AdaptiveAvgPool2d(1)
+        mu = Dense(self.z_dim, dtype=self.dtype, name="fc_mu")(h)
+        logvar = Dense(self.z_dim, dtype=self.dtype, name="fc_logvar")(h)
+        std = jnp.exp(0.5 * logvar)
+        eps = jax.random.normal(self.make_rng("reparam"), std.shape, std.dtype)
+        z = eps * std + mu
+        return z, mu, logvar
+
+
+class AttributeEncoder(nn.Module):
+    """Class embedding ⊕ multi-hot attributes -> 64-d fused object code.
+
+    Reference: models/generator_obj_att.py:575-600 (MLP 128->64->64 with
+    BatchNorm1d). BN is masked over valid object rows.
+    """
+
+    num_classes: int
+    attribute_dim: int = 106
+    embedding_dim: int = 64
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, objs, attribute, mask, train: bool):
+        ura = not train
+        emb = Embed(self.num_classes, self.embedding_dim, dtype=self.dtype, name="embedding")(objs)
+        a = jnp.concatenate([emb, attribute.astype(emb.dtype)], axis=-1)
+        a = Dense(128, dtype=self.dtype, name="c0")(a)
+        a = MaskedBatchNorm(128, dtype=self.dtype, name="bn0")(a, mask, ura)
+        a = nn.relu(a)
+        a = Dense(64, dtype=self.dtype, name="c1")(a)
+        a = MaskedBatchNorm(64, dtype=self.dtype, name="bn1")(a, mask, ura)
+        a = nn.relu(a)
+        return Dense(64, dtype=self.dtype, name="c2")(a)
+
+
+class LayoutEncoder(nn.Module):
+    """Broadcast object codes into masked planes, encode, fuse via ConvLSTM.
+
+    Reference: models/generator_obj_att.py:449-513 (64) and
+    generator_obj_att128.py:449-516 (128: extra AdaptiveAvgPool2d(8)).
+    Note the reference's c0 is a 1x1 conv with padding=1 (spatial +2), which
+    still lands on 8x8 after the stride-2 stages — reproduced faithfully.
+    """
+
+    num_classes: int
+    image_size: int = 64
+    conv_dim: int = 64
+    resi_num: int = 6
+    clstm_dims: Tuple[int, ...] = (128, 64, 64)
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, objs_att, masks, valid, z, objs, train: bool):
+        # objs_att: (B, O, 64); masks: (B, O, H, W, 1); z: (B, O, z_dim);
+        # objs: (B, O) int; valid: (B, O) bool
+        ura = not train
+        b, o = objs_att.shape[:2]
+        hgt, wdt = masks.shape[2], masks.shape[3]
+        d = self.conv_dim
+
+        vec = jnp.concatenate([objs_att, z.astype(objs_att.dtype)], axis=-1)
+        h = vec[:, :, None, None, :] * masks.astype(vec.dtype)  # (B,O,H,W,C)
+        h = h.reshape(b * o, hgt, wdt, vec.shape[-1])
+        objs_f = objs.reshape(-1)
+        mask_f = valid.reshape(-1)
+
+        specs = [
+            (d, 1, 1, 1),  # 1x1 conv, padding 1 (reference quirk)
+            (d * 2, 4, 2, 1),
+            (d * 4, 4, 2, 1),
+            (d * 8, 4, 2, 1),
+        ]
+        names = ["c0", "c2", "c3", "c4"]
+        bns = ["bn1", "bn2", "bn3", "bn4"]
+        for i, (feats, k, s, p) in enumerate(specs):
+            h = Conv2d(feats, k, stride=s, padding=p, use_bias=False, dtype=self.dtype, name=names[i])(h)
+            h = ConditionalBatchNorm(feats, self.num_classes, dtype=self.dtype, name=bns[i])(
+                h, objs_f, mask_f, ura
+            )
+            if i < 3:  # no activation after bn4 (reference :504-509)
+                h = nn.relu(h)
+
+        if self.image_size == 128:
+            h = adaptive_avg_pool(h, 8)  # (N,16,16,512) -> (N,8,8,512)
+
+        h = h.reshape(b, o, 8, 8, d * 8)
+        h = LayoutFuser(self.clstm_dims, dtype=self.dtype, name="clstm")(h, valid)  # (B,8,8,64)
+
+        for i in range(self.resi_num):
+            h = ResidualBlock(64, dtype=self.dtype, name=f"residual_{i}")(h, ura)
+        return h
+
+
+class GlobalEncoder(nn.Module):
+    """8x8 layout feature -> 128-d global context vector.
+
+    Reference: models/generator_obj_att.py:425-446 (conv, BN, relu, conv,
+    spatial sum).
+    """
+
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, h, train: bool):
+        ura = not train
+        h = Conv2d(128, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype, name="c1")(h)
+        h = MaskedBatchNorm(128, dtype=self.dtype, name="bn1")(h, None, ura)
+        h = nn.relu(h)
+        h = Conv2d(128, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype, name="c2")(h)
+        return jnp.sum(h, axis=(1, 2))
+
+
+class Decoder(nn.Module):
+    """Layout feature ⊕ broadcast global vector -> RGB image.
+
+    Reference: models/generator_obj_att.py:516-572 (64) plus the 2x
+    nearest-upsample tail of generator_obj_att128.py:542-604 when
+    image_size == 128. Every SPADE block is conditioned on the 8x8 layout
+    feature itself (seg = hidden).
+    """
+
+    image_size: int = 64
+    conv_dim: int = 64
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, hidden, global_h, train: bool):
+        ura = not train
+        d = self.conv_dim
+        seg = hidden  # (B, 8, 8, 64)
+
+        g = jnp.broadcast_to(
+            global_h[:, None, None, :], (global_h.shape[0], 8, 8, global_h.shape[-1])
+        )
+        h = jnp.concatenate([hidden, g.astype(hidden.dtype)], axis=-1)
+        h = Conv2d(d * 4, 3, padding=1, use_bias=False, dtype=self.dtype, name="c0_new")(h)
+        h = SPADE(d * 4, dtype=self.dtype, name="spade_0")(h, seg, ura)
+        h = nn.relu(h)
+        h = ConvTranspose2d(d * 4, 4, 2, 1, use_bias=False, dtype=self.dtype, name="dc1")(h)
+        h = SPADE(d * 4, dtype=self.dtype, name="spade_1")(h, seg, ura)
+        h = nn.relu(h)
+        h = ConvTranspose2d(d * 2, 4, 2, 1, use_bias=False, dtype=self.dtype, name="dc2")(h)
+        h = SPADE(d * 2, dtype=self.dtype, name="spade_2")(h, seg, ura)
+        h = nn.relu(h)
+        h = ConvTranspose2d(d, 4, 2, 1, use_bias=False, dtype=self.dtype, name="dc3")(h)
+        h = SPADE(d, dtype=self.dtype, name="spade_3")(h, seg, ura)
+        h = nn.relu(h)
+        h_64 = Conv2d(3, 7, padding=3, use_bias=True, dtype=self.dtype, name="c4")(h)
+        if self.image_size == 64:
+            return h_64
+
+        # 128: nearest 2x upsample of the 64-res RGB, then refine
+        up = jnp.repeat(jnp.repeat(h_64, 2, axis=1), 2, axis=2)
+        h = Conv2d(d * 2, 7, padding=3, use_bias=False, dtype=self.dtype, name="c5")(up)
+        h = SPADE(d * 2, dtype=self.dtype, name="spade_4")(h, seg, ura)
+        h = nn.relu(h)
+        h = Conv2d(d * 2, 5, padding=2, use_bias=False, dtype=self.dtype, name="c6")(h)
+        h = SPADE(d * 2, dtype=self.dtype, name="spade_5")(h, seg, ura)
+        h = nn.relu(h)
+        return Conv2d(3, 7, padding=3, use_bias=True, dtype=self.dtype, name="c7")(h)
+
+
+class Generator(nn.Module):
+    """Full generator orchestrator (reference models/generator_obj_att.py:603-647).
+
+    One forward computes: real-crop VAE encoding, GT/estimated attribute
+    codes, three layouts (rec / rand / shift), three decoded images with
+    global context, and re-encodings of the fake crops. Returns a dict.
+    """
+
+    num_classes: int
+    attribute_dim: int = 106
+    embedding_dim: int = 64
+    z_dim: int = 64
+    image_size: int = 64
+    object_size: int = 32
+    clstm_layers: int = 3
+    resi_num: int = 6
+    dtype: jnp.dtype | None = None
+
+    def setup(self):
+        self.crop_encoder = CropEncoder(
+            self.num_classes, self.z_dim, dtype=self.dtype
+        )
+        self.layout_encoder = LayoutEncoder(
+            self.num_classes,
+            image_size=self.image_size,
+            resi_num=self.resi_num,
+            clstm_dims=clstm_hidden_dims(self.clstm_layers),
+            dtype=self.dtype,
+        )
+        self.decoder = Decoder(image_size=self.image_size, dtype=self.dtype)
+        self.global_encoder = GlobalEncoder(dtype=self.dtype)
+        self.attribute_encoder = AttributeEncoder(
+            self.num_classes,
+            attribute_dim=self.attribute_dim,
+            embedding_dim=self.embedding_dim,
+            dtype=self.dtype,
+        )
+
+    def __call__(
+        self,
+        imgs,
+        objs,
+        boxes,
+        masks,
+        valid,
+        z_rand,
+        attribute,
+        masks_shift,
+        boxes_shift,
+        attribute_est,
+        train: bool = True,
+    ):
+        b, o = objs.shape
+        objs_f = objs.reshape(-1)
+        mask_f = valid.reshape(-1)
+        s = self.object_size
+
+        def flat(x):
+            return x.reshape((b * o,) + x.shape[2:])
+
+        crops_input = crop_bbox_dense(imgs, boxes, s)
+        z_rec, mu, logvar = self.crop_encoder(flat(crops_input), objs_f, mask_f, train)
+
+        objs_att = self.attribute_encoder(objs_f, flat(attribute), mask_f, train)
+        objs_att_est = self.attribute_encoder(objs_f, flat(attribute_est), mask_f, train)
+        objs_att = objs_att.reshape(b, o, -1)
+        objs_att_est = objs_att_est.reshape(b, o, -1)
+        z_rec_d = z_rec.reshape(b, o, -1)
+
+        h_rec = self.layout_encoder(objs_att_est, masks, valid, z_rec_d, objs, train)
+        h_rand = self.layout_encoder(objs_att, masks, valid, z_rand, objs, train)
+        h_shift = self.layout_encoder(objs_att, masks_shift, valid, z_rand, objs, train)
+
+        h_rec_global = self.global_encoder(h_rec, train)
+        h_rand_global = self.global_encoder(h_rand, train)
+        h_shift_global = self.global_encoder(h_shift, train)
+
+        img_rec = self.decoder(h_rec, h_rec_global, train)
+        img_rand = self.decoder(h_rand, h_rand_global, train)
+        img_shift = self.decoder(h_shift, h_shift_global, train)
+
+        crops_rand = crop_bbox_dense(img_rand, boxes, s)
+        _, z_rand_rec, _ = self.crop_encoder(flat(crops_rand), objs_f, mask_f, train)
+        crops_input_rec = crop_bbox_dense(img_rec, boxes, s)
+        crops_shift = crop_bbox_dense(img_shift, boxes_shift, s)
+        _, z_rand_shift, _ = self.crop_encoder(flat(crops_shift), objs_f, mask_f, train)
+
+        return {
+            "crops_input": crops_input,
+            "crops_input_rec": crops_input_rec,
+            "crops_rand": crops_rand,
+            "crops_shift": crops_shift,
+            "img_rec": img_rec,
+            "img_rand": img_rand,
+            "img_shift": img_shift,
+            "mu": mu,
+            "logvar": logvar,
+            "z_rand_rec": z_rand_rec,
+            "z_rand_shift": z_rand_shift,
+        }
+
+    def generate(self, objs, boxes, valid, z, attribute, masks=None, train: bool = False):
+        """Inference-only path: layout -> image (no real image required).
+
+        This is the serving hot path for the throughput benchmark: one
+        layout-encode + global-encode + decode.
+        """
+        b, o = objs.shape
+        if masks is None:
+            from aglayout_tpu.ops.rasterize import rasterize_boxes
+
+            masks = rasterize_boxes(boxes, self.image_size, self.image_size)[..., None]
+        objs_f = objs.reshape(-1)
+        mask_f = valid.reshape(-1)
+        att = self.attribute_encoder(objs_f, attribute.reshape(b * o, -1), mask_f, train)
+        h = self.layout_encoder(att.reshape(b, o, -1), masks, valid, z, objs, train)
+        g = self.global_encoder(h, train)
+        return self.decoder(h, g, train)

@@ -1,0 +1,186 @@
+"""Conv/Dense wrappers with exact torch layer semantics + default inits.
+
+The reference trains with PyTorch default initializers (its weights_init
+helper is commented out at models/generator_obj_att.py:615), so training
+dynamics depend on those defaults:
+
+  * Conv2d / Linear: kaiming_uniform(a=sqrt(5)) on weights — i.e.
+    U(-1/sqrt(fan_in), 1/sqrt(fan_in)) — and the same bound for bias.
+  * ConvTranspose2d: same formula but torch computes fan_in from
+    weight.size(1) * k * k = out_channels * k * k.
+  * Embedding: N(0, 1).
+
+ConvTranspose2d(k, s, p) in torch equals a forward convolution with
+lhs_dilation=s, padding k-1-p on each side, and the kernel spatially flipped
+with in/out swapped; we store the kernel already in forward-conv HWIO form
+(the torch checkpoint importer performs the flip/transpose once at load).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from aglayout_tpu.models.norms import MaskedBatchNorm
+
+
+def torch_uniform_init(fan_in: int):
+    bound = 1.0 / (fan_in ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def torch_embed_init(key, shape, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype)
+
+
+class Conv2d(nn.Module):
+    """NHWC conv matching torch.nn.Conv2d(k, stride, padding) defaults."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        fan_in = in_ch * k * k
+        kernel = self.param(
+            "kernel", torch_uniform_init(fan_in), (k, k, in_ch, self.features), jnp.float32
+        )
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_uniform_init(fan_in), (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    """NHWC transposed conv matching torch.nn.ConvTranspose2d(k, s, p).
+
+    Output spatial size = (in - 1) * s - 2p + k. Kernel is stored in
+    forward-conv HWIO layout (flipped/transposed relative to torch's
+    (in, out, kh, kw) — see module docstring).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 2
+    padding: int = 1
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        k = self.kernel_size
+        # torch computes ConvTranspose fan_in from weight.size(1)*k*k = out*k*k
+        fan_in = self.features * k * k
+        kernel = self.param(
+            "kernel", torch_uniform_init(fan_in), (k, k, in_ch, self.features), jnp.float32
+        )
+        dtype = self.dtype or x.dtype
+        pad = k - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(1, 1),
+            padding=[(pad, pad)] * 2,
+            lhs_dilation=(self.stride, self.stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", torch_uniform_init(fan_in), (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class Dense(nn.Module):
+    """Linear with torch default init."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        in_f = x.shape[-1]
+        kernel = self.param("kernel", torch_uniform_init(in_f), (in_f, self.features), jnp.float32)
+        dtype = self.dtype or x.dtype
+        y = x.astype(dtype) @ kernel.astype(dtype)
+        if self.use_bias:
+            bias = self.param("bias", torch_uniform_init(in_f), (self.features,), jnp.float32)
+            y = y + bias.astype(dtype)
+        return y
+
+
+class Embed(nn.Module):
+    """Embedding table with torch default N(0,1) init."""
+
+    num_embeddings: int
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, ids):
+        table = self.param(
+            "embedding", torch_embed_init, (self.num_embeddings, self.features), jnp.float32
+        )
+        y = jnp.take(table, ids, axis=0)
+        return y.astype(self.dtype or y.dtype)
+
+
+class ResidualBlock(nn.Module):
+    """Generator residual block: conv-BN-ReLU-conv-BN + identity skip.
+
+    Reference: models/generator_obj_att.py:47-60 (affine BN, no-bias convs).
+    Operates on per-image tensors, so no mask is needed.
+    """
+
+    features: int
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool = False):
+        h = Conv2d(self.features, 3, padding=1, use_bias=False, dtype=self.dtype, name="c1")(x)
+        h = MaskedBatchNorm(self.features, dtype=self.dtype, name="bn1")(
+            h, None, use_running_average
+        )
+        h = nn.relu(h)
+        h = Conv2d(self.features, 3, padding=1, use_bias=False, dtype=self.dtype, name="c2")(h)
+        h = MaskedBatchNorm(self.features, dtype=self.dtype, name="bn2")(
+            h, None, use_running_average
+        )
+        return x + h
+
+
+def avg_pool2(x):
+    """2x2 average pool, stride 2 (torch F.avg_pool2d(x, 2))."""
+    return nn.avg_pool(x, (2, 2), (2, 2))
+
+
+def adaptive_avg_pool(x, out_hw: int):
+    """AdaptiveAvgPool2d for integer-ratio downsizing (exact match)."""
+    h, w = x.shape[1], x.shape[2]
+    if h == out_hw and w == out_hw:
+        return x
+    assert h % out_hw == 0 and w % out_hw == 0, (h, w, out_hw)
+    kh, kw = h // out_hw, w // out_hw
+    return nn.avg_pool(x, (kh, kw), (kh, kw))

@@ -1,0 +1,102 @@
+"""Training loop driver: data -> sharded step -> logging -> checkpoints.
+
+The train64.py/train128.py-equivalent 'CLI' layer (one binary, resolution
+switched by config). Artifact directories follow the reference's exp_name
+convention (train64.py:69-79): {path}/all/{logs,models,samples,results}/{exp}.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from aglayout_tpu.config import Config
+from aglayout_tpu.data.vocab import attribute_pos_weight
+from aglayout_tpu.ops.image import imagenet_deprocess_batch
+from aglayout_tpu.ops.bilinear import crop_bbox_dense
+from aglayout_tpu.parallel import make_mesh, make_sharded_train_step, replicated, shard_batch
+from aglayout_tpu.train.state import Models, create_train_state
+from aglayout_tpu.train.step import make_train_step
+from aglayout_tpu.utils.checkpoint import restore_state, save_state
+from aglayout_tpu.utils.logging import MetricLogger
+
+
+def prepare_dirs(cfg: Config):
+    dirs = {}
+    for kind in ("logs", "models", "samples", "results"):
+        d = os.path.join(cfg.path, "all", kind, cfg.exp_name)
+        os.makedirs(d, exist_ok=True)
+        dirs[kind] = d
+    return dirs
+
+
+def load_cooccurrence(cfg: Config):
+    """Object<->attribute co-occurrence counts (matrix_obj_vs_att.pt
+    equivalent; built by aglayout_tpu.eval.cooccurrence)."""
+    path = os.path.join(cfg.vg_dir, "matrix_obj_vs_att.npy")
+    if os.path.exists(path):
+        return np.load(path)
+    # fall back to uniform weights: swap sampling degrades gracefully
+    return np.ones((cfg.num_classes, cfg.attribute_dim), np.float32)
+
+
+def train(cfg: Config, loader=None, niter: int | None = None, use_tensorboard: bool = True):
+    """Run training. `loader` defaults to the VG pipeline; pass any iterator
+    of dense batches (e.g. a synthetic one) for smoke runs."""
+    dirs = prepare_dirs(cfg)
+
+    if loader is None:
+        from aglayout_tpu.data.dataset import get_dataloaders
+
+        loader, _, vocab = get_dataloaders(cfg)
+        cfg.num_classes = len(vocab["object_idx_to_name"])
+
+    models = Models(cfg)
+    state = create_train_state(cfg, models, jax.random.PRNGKey(cfg.seed))
+    state, start = restore_state(dirs["models"], state, cfg.resume)
+
+    matrix = load_cooccurrence(cfg)
+    step_fn = make_train_step(cfg, models, matrix, attribute_pos_weight())
+
+    mesh = make_mesh(cfg.num_devices)
+    state = jax.device_put(state, replicated(mesh))
+    sharded_step = make_sharded_train_step(step_fn, mesh)
+
+    logger = MetricLogger(dirs["logs"], use_tensorboard)
+    niter = niter or cfg.niter
+    it = iter(loader)
+    t0 = time.time()
+    metrics = {}
+    for i in range(start, niter):
+        batch = shard_batch(next(it), mesh)
+        state, metrics = sharded_step(state, batch)
+
+        if (i + 1) % cfg.log_step == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            m["steps_per_sec"] = cfg.log_step / (time.time() - t0)
+            t0 = time.time()
+            logger.log_stdout(i + 1, niter, m)
+        if (i + 1) % cfg.tensorboard_step == 0:
+            logger.log_scalars(i + 1, {k: float(v) for k, v in metrics.items()})
+            imgs = batch["imgs"]
+            crops = crop_bbox_dense(imgs, batch["boxes"], cfg.object_size)
+            b, o = batch["objs"].shape
+            logger.log_images(
+                i + 1,
+                {
+                    "Result/img_real": np.asarray(imagenet_deprocess_batch(imgs)),
+                    "Result/crop_real": np.asarray(
+                        imagenet_deprocess_batch(
+                            crops.reshape(b * o, cfg.object_size, cfg.object_size, 3)
+                        )
+                    ),
+                },
+            )
+        if (i + 1) % cfg.save_step == 0:
+            save_state(dirs["models"], i + 1, state, cfg.save_num)
+
+    logger.close()
+    return state, metrics

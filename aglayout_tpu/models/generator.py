@@ -110,6 +110,15 @@ class LayoutEncoder(nn.Module):
     generator_obj_att128.py:449-516 (128: extra AdaptiveAvgPool2d(8)).
     Note the reference's c0 is a 1x1 conv with padding=1 (spatial +2), which
     still lands on 8x8 after the stride-2 stages — reproduced faithfully.
+
+    TPU fast path (eval/serving): the per-object input plane is exactly
+    ``q + (p - q) * rect`` — a constant inside the object's box and a
+    constant outside (the broadcast object code through the 1x1 conv and the
+    eval-mode affine CBN). The broadcast + c0 + bn1 + relu + c2 pipeline
+    therefore collapses into tiny einsums over separable binary box-window
+    matrices (exact, same math) instead of materializing (B, O, H+2, W+2, C)
+    planes and running full convs over them — the single largest
+    memory-traffic and FLOP hotspot of the serving path.
     """
 
     num_classes: int
@@ -117,47 +126,113 @@ class LayoutEncoder(nn.Module):
     conv_dim: int = 64
     resi_num: int = 6
     clstm_dims: Tuple[int, ...] = (128, 64, 64)
+    z_dim: int = 64
     dtype: jnp.dtype | None = None
 
-    @nn.compact
-    def __call__(self, objs_att, masks, valid, z, objs, train: bool):
-        # objs_att: (B, O, 64); masks: (B, O, H, W, 1); z: (B, O, z_dim);
-        # objs: (B, O) int; valid: (B, O) bool
+    def setup(self):
+        d = self.conv_dim
+        c0_in = 64 + self.z_dim
+        self.c0 = Conv2d(
+            d, 1, stride=1, padding=1, use_bias=False, dtype=self.dtype, in_features=c0_in
+        )
+        self.bn1 = ConditionalBatchNorm(d, self.num_classes, dtype=self.dtype)
+        self.c2 = Conv2d(
+            d * 2, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype, in_features=d
+        )
+        self.bn2 = ConditionalBatchNorm(d * 2, self.num_classes, dtype=self.dtype)
+        self.c3 = Conv2d(d * 4, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype)
+        self.bn3 = ConditionalBatchNorm(d * 4, self.num_classes, dtype=self.dtype)
+        self.c4 = Conv2d(d * 8, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype)
+        self.bn4 = ConditionalBatchNorm(d * 8, self.num_classes, dtype=self.dtype)
+        self.clstm = LayoutFuser(self.clstm_dims, dtype=self.dtype)
+        self.residuals = [
+            ResidualBlock(64, dtype=self.dtype, name=f"residual_{i}")
+            for i in range(self.resi_num)
+        ]
+
+    def _fused_stage1(self, vec, boxes, objs):
+        """Exact eval-mode broadcast+c0+bn1+relu+c2 on rectangular masks.
+
+        vec: (B, O, C0) object codes; boxes: (B, O, 4) normalized;
+        objs: (B, O) classes. Returns the c2 output (B*O, S2, S2, 2d).
+        """
+        b, o, c0_dim = vec.shape
+        d = self.conv_dim
+        size = self.image_size
+        in_size = size + 2  # c0's padding=1 quirk
+        out_size = (in_size + 2 - 4) // 2 + 1
+        dtype = self.dtype or vec.dtype
+
+        w0 = self.c0.kernel[0, 0].astype(dtype)  # (C0, d)
+        wv = jnp.einsum("bod,dk->bok", vec.astype(dtype), w0)
+        a, bb = self.bn1.eval_affine(objs.reshape(-1))  # (B*O, d)
+        a = a.reshape(b, o, d).astype(dtype)
+        bb = bb.reshape(b, o, d).astype(dtype)
+        p = nn.relu(a * wv + bb)  # inside-box constant
+        q = nn.relu(bb)  # outside-box constant (incl. padding ring)
+
+        w2 = self.c2.kernel.astype(dtype)  # (4, 4, d, 2d)
+        kq = jnp.einsum("hwdc,bod->bohwc", w2, q)
+        kp = jnp.einsum("hwdc,bod->bohwc", w2, p - q)
+
+        # tap coordinate in the padded (in_size) grid: t = 2*y + dy - 1
+        ys = jnp.arange(out_size)
+        taps = 2 * ys[:, None] + jnp.arange(4)[None, :] - 1  # (out, 4)
+        inb = ((taps >= 0) & (taps < in_size)).astype(dtype)  # image bounds
+
+        # rect rows/cols in the padded grid are [round(lo*size)+1, round(hi*size)+1)
+        def rect_win(lo, hi):
+            t0 = jnp.round(lo * size)[..., None, None]  # (B, O, 1, 1)
+            t1 = jnp.round(hi * size)[..., None, None]
+            tt = taps[None, None].astype(jnp.float32) - 1.0  # original-grid coords
+            return ((tt >= t0) & (tt < t1)).astype(dtype)  # (B, O, out, 4)
+
+        rr = rect_win(boxes[..., 1], boxes[..., 3])
+        cc = rect_win(boxes[..., 0], boxes[..., 2])
+
+        hq = jnp.einsum("yh,bohwc->boywc", inb, kq)
+        hq = jnp.einsum("xw,boywc->boyxc", inb, hq)
+        hp = jnp.einsum("boyh,bohwc->boywc", rr, kp)
+        hp = jnp.einsum("boxw,boywc->boyxc", cc, hp)
+        return (hq + hp).reshape(b * o, out_size, out_size, 2 * d)
+
+    def __call__(self, objs_att, masks, valid, z, objs, train: bool, boxes=None):
+        # objs_att: (B, O, 64); masks: (B, O, H, W, 1) or None (serving fast
+        # path with `boxes` given); z: (B, O, z_dim); objs/valid: (B, O)
         ura = not train
         b, o = objs_att.shape[:2]
-        hgt, wdt = masks.shape[2], masks.shape[3]
         d = self.conv_dim
-
-        vec = jnp.concatenate([objs_att, z.astype(objs_att.dtype)], axis=-1)
-        h = vec[:, :, None, None, :] * masks.astype(vec.dtype)  # (B,O,H,W,C)
-        h = h.reshape(b * o, hgt, wdt, vec.shape[-1])
         objs_f = objs.reshape(-1)
         mask_f = valid.reshape(-1)
 
-        specs = [
-            (d, 1, 1, 1),  # 1x1 conv, padding 1 (reference quirk)
-            (d * 2, 4, 2, 1),
-            (d * 4, 4, 2, 1),
-            (d * 8, 4, 2, 1),
-        ]
-        names = ["c0", "c2", "c3", "c4"]
-        bns = ["bn1", "bn2", "bn3", "bn4"]
-        for i, (feats, k, s, p) in enumerate(specs):
-            h = Conv2d(feats, k, stride=s, padding=p, use_bias=False, dtype=self.dtype, name=names[i])(h)
-            h = ConditionalBatchNorm(feats, self.num_classes, dtype=self.dtype, name=bns[i])(
-                h, objs_f, mask_f, ura
-            )
-            if i < 3:  # no activation after bn4 (reference :504-509)
-                h = nn.relu(h)
+        vec = jnp.concatenate([objs_att, z.astype(objs_att.dtype)], axis=-1)
+
+        if masks is None and boxes is not None and not train:
+            h = self._fused_stage1(vec, boxes, objs)
+        else:
+            hgt, wdt = masks.shape[2], masks.shape[3]
+            h = vec[:, :, None, None, :] * masks.astype(vec.dtype)  # (B,O,H,W,C)
+            h = h.reshape(b * o, hgt, wdt, vec.shape[-1])
+            h = self.c0(h)
+            h = self.bn1(h, objs_f, mask_f, ura)
+            h = nn.relu(h)
+            h = self.c2(h)
+        h = self.bn2(h, objs_f, mask_f, ura)
+        h = nn.relu(h)
+        h = self.c3(h)
+        h = self.bn3(h, objs_f, mask_f, ura)
+        h = nn.relu(h)
+        h = self.c4(h)
+        h = self.bn4(h, objs_f, mask_f, ura)  # no relu (reference :504-509)
 
         if self.image_size == 128:
             h = adaptive_avg_pool(h, 8)  # (N,16,16,512) -> (N,8,8,512)
 
         h = h.reshape(b, o, 8, 8, d * 8)
-        h = LayoutFuser(self.clstm_dims, dtype=self.dtype, name="clstm")(h, valid)  # (B,8,8,64)
+        h = self.clstm(h, valid)  # (B, 8, 8, 64)
 
-        for i in range(self.resi_num):
-            h = ResidualBlock(64, dtype=self.dtype, name=f"residual_{i}")(h, ura)
+        for block in self.residuals:
+            h = block(h, ura)
         return h
 
 
@@ -257,6 +332,7 @@ class Generator(nn.Module):
             image_size=self.image_size,
             resi_num=self.resi_num,
             clstm_dims=clstm_hidden_dims(self.clstm_layers),
+            z_dim=self.z_dim,
             dtype=self.dtype,
         )
         self.decoder = Decoder(image_size=self.image_size, dtype=self.dtype)
@@ -335,16 +411,20 @@ class Generator(nn.Module):
         """Inference-only path: layout -> image (no real image required).
 
         This is the serving hot path for the throughput benchmark: one
-        layout-encode + global-encode + decode.
+        layout-encode + global-encode + decode. With `masks=None` the layout
+        encoder takes its exact fused rectangular-mask fast path (no mask
+        rasterization, no full-resolution per-object planes).
         """
         b, o = objs.shape
-        if masks is None:
+        if masks is None and train:
             from aglayout_tpu.ops.rasterize import rasterize_boxes
 
             masks = rasterize_boxes(boxes, self.image_size, self.image_size)[..., None]
         objs_f = objs.reshape(-1)
         mask_f = valid.reshape(-1)
         att = self.attribute_encoder(objs_f, attribute.reshape(b * o, -1), mask_f, train)
-        h = self.layout_encoder(att.reshape(b, o, -1), masks, valid, z, objs, train)
+        h = self.layout_encoder(
+            att.reshape(b, o, -1), masks, valid, z, objs, train, boxes=boxes
+        )
         g = self.global_encoder(h, train)
         return self.decoder(h, g, train)

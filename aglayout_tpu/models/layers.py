@@ -41,7 +41,12 @@ def torch_embed_init(key, shape, dtype=jnp.float32):
 
 
 class Conv2d(nn.Module):
-    """NHWC conv matching torch.nn.Conv2d(k, stride, padding) defaults."""
+    """NHWC conv matching torch.nn.Conv2d(k, stride, padding) defaults.
+
+    Pass `in_features` to declare the kernel at setup time — required when a
+    fused fast path reads `.kernel` algebraically instead of calling the
+    conv spatially.
+    """
 
     features: int
     kernel_size: int
@@ -49,15 +54,34 @@ class Conv2d(nn.Module):
     padding: int = 0
     use_bias: bool = True
     dtype: jnp.dtype | None = None
+    in_features: int | None = None
+
+    def setup(self):
+        if self.in_features is not None:
+            k = self.kernel_size
+            fan_in = self.in_features * k * k
+            self.kernel = self.param(
+                "kernel",
+                torch_uniform_init(fan_in),
+                (k, k, self.in_features, self.features),
+                jnp.float32,
+            )
+            if self.use_bias:
+                self.bias = self.param(
+                    "bias", torch_uniform_init(fan_in), (self.features,), jnp.float32
+                )
 
     @nn.compact
     def __call__(self, x):
         in_ch = x.shape[-1]
         k = self.kernel_size
         fan_in = in_ch * k * k
-        kernel = self.param(
-            "kernel", torch_uniform_init(fan_in), (k, k, in_ch, self.features), jnp.float32
-        )
+        if self.in_features is not None:
+            kernel = self.kernel
+        else:
+            kernel = self.param(
+                "kernel", torch_uniform_init(fan_in), (k, k, in_ch, self.features), jnp.float32
+            )
         dtype = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
@@ -67,7 +91,12 @@ class Conv2d(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
-            bias = self.param("bias", torch_uniform_init(fan_in), (self.features,), jnp.float32)
+            if self.in_features is not None:
+                bias = self.bias
+            else:
+                bias = self.param(
+                    "bias", torch_uniform_init(fan_in), (self.features,), jnp.float32
+                )
             y = y + bias.astype(dtype)
         return y
 

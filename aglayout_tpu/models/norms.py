@@ -37,15 +37,28 @@ class MaskedBatchNorm(nn.Module):
     affine: bool = True
     dtype: jnp.dtype | None = None
 
-    @nn.compact
-    def __call__(self, x, mask=None, use_running_average: bool = False):
-        ra_mean = self.variable(
+    def setup(self):
+        self.ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros(self.features, jnp.float32)
         )
-        ra_var = self.variable(
+        self.ra_var = self.variable(
             "batch_stats", "var", lambda: jnp.ones(self.features, jnp.float32)
         )
+        if self.affine:
+            self.scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+            self.bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
 
+    def eval_affine(self):
+        """(a, b) such that eval-mode BN(x) == a * x + b (per channel)."""
+        a = jax.lax.rsqrt(self.ra_var.value + self.epsilon)
+        b = -self.ra_mean.value * a
+        if self.affine:
+            a = a * self.scale
+            b = b * self.scale + self.bias
+        return a, b
+
+    def __call__(self, x, mask=None, use_running_average: bool = False):
+        ra_mean, ra_var = self.ra_mean, self.ra_var
         reduce_axes = tuple(range(x.ndim - 1))
         xf = x.astype(jnp.float32)
         if use_running_average:
@@ -76,9 +89,7 @@ class MaskedBatchNorm(nn.Module):
 
         y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon)
         if self.affine:
-            scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y * scale + bias
+            y = y * self.scale + self.bias
         return y.astype(self.dtype or x.dtype)
 
 
@@ -102,19 +113,24 @@ class ConditionalBatchNorm(nn.Module):
     num_classes: int
     dtype: jnp.dtype | None = None
 
-    @nn.compact
-    def __call__(self, x, y, mask=None, use_running_average: bool = False):
-        out = MaskedBatchNorm(
-            self.features, affine=False, dtype=self.dtype, name="bn"
-        )(x, mask, use_running_average)
-        gb = nn.Embed(
+    def setup(self):
+        self.bn = MaskedBatchNorm(self.features, affine=False, dtype=self.dtype)
+        self.embed = nn.Embed(
             self.num_classes,
             2 * self.features,
             embedding_init=_cbn_embed_init,
             param_dtype=jnp.float32,
-            name="embed",
-        )(y)
-        gamma, beta = jnp.split(gb, 2, axis=-1)
+        )
+
+    def eval_affine(self, y):
+        """Per-row (a, b) with eval-mode CBN(x, y) == a * x + b (channelwise)."""
+        a0, b0 = self.bn.eval_affine()
+        gamma, beta = jnp.split(self.embed(y), 2, axis=-1)
+        return gamma * a0, gamma * b0 + beta
+
+    def __call__(self, x, y, mask=None, use_running_average: bool = False):
+        out = self.bn(x, mask, use_running_average)
+        gamma, beta = jnp.split(self.embed(y), 2, axis=-1)
         shape = gamma.shape[:1] + (1,) * (x.ndim - 2) + gamma.shape[-1:]
         return out * gamma.reshape(shape).astype(out.dtype) + beta.reshape(shape).astype(out.dtype)
 

@@ -5,6 +5,13 @@ Prints ONE JSON line:
 
 Baseline (BASELINE.md): >= 5000 images/sec/chip at 128x128 generator
 inference. vs_baseline = value / 5000.
+
+Measurement methodology (important on tunneled/remote TPU transports where
+async dispatch never blocks and host<->device transfers are slow): all
+`iters` generator invocations run inside ONE jitted `lax.scan` over a
+pre-uploaded stack of z vectors, returning a single scalar checksum; only
+that scalar crosses the wire. Timing = second invocation (compile cached,
+operands device-resident).
 """
 
 import argparse
@@ -19,9 +26,9 @@ def main():
     p.add_argument("--image_size", type=int, default=128)
     p.add_argument("--batch_size", type=int, default=128)
     p.add_argument("--max_objects", type=int, default=10)
-    p.add_argument("--iters", type=int, default=30)
-    p.add_argument("--warmup", type=int, default=5)
+    p.add_argument("--iters", type=int, default=20)
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--train_step", action="store_true", help="bench the GAN train step instead")
     args = p.parse_args()
 
     import jax
@@ -39,7 +46,6 @@ def main():
     )
     models = Models(cfg)
     state = create_train_state(cfg, models, jax.random.PRNGKey(0))
-    variables = {"params": state.g.params, "batch_stats": state.g.stats}
 
     b, o = args.batch_size, args.max_objects
     rng = np.random.RandomState(0)
@@ -48,38 +54,81 @@ def main():
     wh = rng.uniform(0.1, 0.4, (b, o, 2)).astype(np.float32)
     boxes = jnp.asarray(np.concatenate([xy0, np.minimum(xy0 + wh, 1.0)], -1))
     valid = jnp.ones((b, o), jnp.float32)
-    z = jnp.asarray(rng.randn(b, o, cfg.z_dim).astype(np.float32))
     attr = jnp.asarray((rng.rand(b, o, cfg.attribute_dim) < 0.05).astype(np.float32))
 
-    @jax.jit
-    def generate(v, objs, boxes, valid, z, attr):
-        return models.generator.apply(
-            v, objs, boxes, valid, z, attr, method=Generator.generate
-        )
+    if args.train_step:
+        from aglayout_tpu.data.synthetic import synthetic_batch, synthetic_cooccurrence
+        from aglayout_tpu.data.vocab import attribute_pos_weight
+        from aglayout_tpu.train.step import make_train_step
 
-    out = generate(variables, objs, boxes, valid, z, attr)
-    out.block_until_ready()
-    for _ in range(args.warmup):
-        out = generate(variables, objs, boxes, valid, z, attr)
-    out.block_until_ready()
+        step = make_train_step(
+            cfg, models, synthetic_cooccurrence(rng, cfg.num_classes), attribute_pos_weight()
+        )
+        batch = {
+            k: jnp.asarray(v)
+            for k, v in synthetic_batch(rng, b, o, cfg.image_size, cfg.num_classes).items()
+        }
+
+        @jax.jit
+        def bench_many(state, batch, n):
+            def body(carry, _):
+                st, s = carry
+                st, metrics = step(st, batch)
+                return (st, s + metrics["G/loss"]), None
+
+            (st, s), _ = jax.lax.scan(body, (state, 0.0), None, length=args.iters)
+            return s
+
+        metric_name = (
+            f"{args.image_size}x{args.image_size} GAN train steps/sec/chip (batch {b})"
+        )
+        t_fn = lambda: float(bench_many(state, batch, args.iters))  # noqa: E731
+        per_call_items = 1.0  # steps
+        baseline = None
+    else:
+
+        @jax.jit
+        def bench_many(v, objs, boxes, valid, zstack, attr):
+            def body(carry, z):
+                img = models.generator.apply(
+                    v, objs, boxes, valid, z, attr, method=Generator.generate
+                )
+                return carry + jnp.sum(img.astype(jnp.float32)), None
+
+            s, _ = jax.lax.scan(body, 0.0, zstack)
+            return s
+
+        variables = {"params": state.g.params, "batch_stats": state.g.stats}
+        zstack1 = jax.device_put(
+            jnp.asarray(rng.randn(args.iters, b, o, cfg.z_dim).astype(np.float32))
+        )
+        zstack2 = jax.device_put(
+            jnp.asarray(rng.randn(args.iters, b, o, cfg.z_dim).astype(np.float32))
+        )
+        metric_name = (
+            f"{args.image_size}x{args.image_size} generator inference images/sec/chip"
+        )
+        # warm: compile + ensure operands resident
+        float(bench_many(variables, objs, boxes, valid, zstack1, attr))
+        t_fn = lambda: float(  # noqa: E731
+            bench_many(variables, objs, boxes, valid, zstack2, attr)
+        )
+        per_call_items = float(b)
+        baseline = 5000.0
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = generate(variables, objs, boxes, valid, z, attr)
-    out.block_until_ready()
+    checksum = t_fn()
     dt = (time.perf_counter() - t0) / args.iters
-    ips = b / dt
+    assert np.isfinite(checksum), checksum
 
-    print(
-        json.dumps(
-            {
-                "metric": f"{args.image_size}x{args.image_size} generator inference images/sec/chip",
-                "value": round(ips, 1),
-                "unit": "images/sec",
-                "vs_baseline": round(ips / 5000.0, 3),
-            }
-        )
-    )
+    value = per_call_items / dt
+    out = {
+        "metric": metric_name,
+        "value": round(value, 1),
+        "unit": "images/sec" if not args.train_step else "steps/sec",
+    }
+    out["vs_baseline"] = round(value / baseline, 3) if baseline else round(value, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

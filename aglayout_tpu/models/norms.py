@@ -141,25 +141,120 @@ class SPADE(nn.Module):
     Reference: models/spade/networks/normalization.py:66-108 with
     param_free_norm_type='batch', ks=3, nhidden=128. The segmap here is the
     generator's own 8x8 layout feature, nearest-resized to x's spatial size.
+
+    TPU fast path (eval, upscale factor f >= 5): the nearest-upsampled seg is
+    piecewise block-constant, so conv3x3 outputs take one of 3 row-classes x
+    3 col-classes of values per block (top/interior/bottom rows of a block),
+    and the second conv takes 5x5 classes. Both mlp convs are therefore
+    computed EXACTLY on the 8x8 grid with class-aggregated kernels, and the
+    full-resolution gamma/beta are assembled by a gather — eliminating the
+    dominant full-resolution convs of the 128^2 decoder.
     """
 
     norm_features: int
+    seg_features: int = 64
     nhidden: int = 128
     dtype: jnp.dtype | None = None
 
-    @nn.compact
-    def __call__(self, x, segmap, use_running_average: bool = False):
+    def setup(self):
         from aglayout_tpu.models.layers import Conv2d
 
-        normalized = MaskedBatchNorm(
-            self.norm_features, affine=False, dtype=self.dtype, name="param_free_norm"
-        )(x, None, use_running_average)
+        self.param_free_norm = MaskedBatchNorm(
+            self.norm_features, affine=False, dtype=self.dtype
+        )
+        self.mlp_shared = Conv2d(
+            self.nhidden, 3, padding=1, dtype=self.dtype, in_features=self.seg_features
+        )
+        self.mlp_gamma = Conv2d(
+            self.norm_features, 3, padding=1, dtype=self.dtype, in_features=self.nhidden
+        )
+        self.mlp_beta = Conv2d(
+            self.norm_features, 3, padding=1, dtype=self.dtype, in_features=self.nhidden
+        )
 
-        # nearest-resize segmap (B, h, w, C) to x's (H, W). Decoder sizes are
-        # integer multiples of the 8x8 layout grid, so repetition is exact and
-        # matches torch F.interpolate(mode='nearest').
+    def _gamma_beta_fused(self, segmap, f: int):
+        """Exact gamma/beta for an f-times nearest-upsampled seg, f >= 5.
+
+        Returns (gamma, beta) at full resolution (B, h*f, w*f, norm_features).
+        """
+        b, h, w, _ = segmap.shape
+        dtype = self.dtype or segmap.dtype
+        seg = segmap.astype(dtype)
+
+        # ---- first conv: 3 row-classes (T/M/B) x 3 col-classes.
+        # R[class][delta+1, dy] marks which kernel taps hit block offset delta.
+        R = jnp.asarray(
+            [
+                [[1, 0, 0], [0, 1, 1], [0, 0, 0]],  # T: y%f==0
+                [[0, 0, 0], [1, 1, 1], [0, 0, 0]],  # M: interior
+                [[0, 0, 0], [1, 1, 0], [0, 0, 1]],  # B: y%f==f-1
+            ],
+            dtype,
+        )
+        w1 = self.mlp_shared.kernel.astype(dtype)  # (3,3,cin,nh)
+        b1 = self.mlp_shared.bias.astype(dtype)
+        # aggregated kernels A[r,c]: (3,3) block-offset kernels
+        A = jnp.einsum("rad,sbe,deco->rsabco", R, R, w1)  # (3,3,3,3,cin,nh)
+        A = A.transpose(2, 3, 4, 0, 1, 5).reshape(3, 3, seg.shape[-1], 9 * self.nhidden)
+        v_all = jax.lax.conv_general_dilated(
+            seg, A, (1, 1), [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        v_all = nn.relu(v_all.reshape(b, h, w, 3, 3, self.nhidden) + b1)
+        # V[r][c]: (B,h,w,nh)
+        V = [[v_all[:, :, :, r, c] for c in range(3)] for r in range(3)]
+
+        # ---- second conv: 5 output classes per axis.
+        # tap spec per class s: for dy in 0..2 -> (first-conv class r, block shift)
+        TAP = {
+            0: [(2, -1), (0, 0), (1, 0)],      # y%f==0: B(i-1), T(i), M(i)
+            1: [(0, 0), (1, 0), (1, 0)],       # y%f==1: T, M, M
+            2: [(1, 0), (1, 0), (1, 0)],       # interior
+            3: [(1, 0), (1, 0), (2, 0)],       # y%f==f-2: M, M, B
+            4: [(1, 0), (2, 0), (0, 1)],       # y%f==f-1: M, B, T(i+1)
+        }
+        w2 = jnp.concatenate(
+            [self.mlp_gamma.kernel, self.mlp_beta.kernel], axis=-1
+        ).astype(dtype)  # (3,3,nh,2*norm)
+        b2 = jnp.concatenate([self.mlp_gamma.bias, self.mlp_beta.bias]).astype(dtype)
+
+        O2 = [[None] * 5 for _ in range(5)]
+        for s in range(5):
+            for t in range(5):
+                acc = 0.0
+                for dy in range(3):
+                    r, sy = TAP[s][dy]
+                    for dx in range(3):
+                        c, sx = TAP[t][dx]
+                        acc = acc + jnp.einsum(
+                            "bhwc,co->bhwo", _shift2d(V[r][c], sy, sx), w2[dy, dx]
+                        )
+                O2[s][t] = acc + b2  # (B, h, w, 2*norm)
+
+        # ---- assemble full resolution: static tile placement (one write)
+        def cls_of(u):
+            return 0 if u == 0 else 1 if u == 1 else 3 if u == f - 2 else 4 if u == f - 1 else 2
+
+        S = [cls_of(u) for u in range(f)]
+        rows = []
+        for u in range(f):
+            cols = jnp.stack([O2[S[u]][S[v]] for v in range(f)], axis=3)  # (B,h,w,f,2n)
+            rows.append(cols)
+        full = jnp.stack(rows, axis=2)  # (B, h, f, w, f, 2n)
+        full = full.reshape(b, h * f, w * f, 2 * self.norm_features)
+        gamma, beta = jnp.split(full, 2, axis=-1)
+        return gamma, beta
+
+    def __call__(self, x, segmap, use_running_average: bool = False):
+        normalized = self.param_free_norm(x, None, use_running_average)
+
         h, w = segmap.shape[1], segmap.shape[2]
         H, W = x.shape[1], x.shape[2]
+        if use_running_average and H % h == 0 and H // h >= 5 and W == H and w == h:
+            gamma, beta = self._gamma_beta_fused(segmap, H // h)
+            return normalized * (1 + gamma) + beta
+
+        # classic path: nearest-resize then conv (exact torch
+        # F.interpolate(mode='nearest') for integer factors)
         if H % h == 0 and W % w == 0:
             seg = jnp.repeat(jnp.repeat(segmap, H // h, axis=1), W // w, axis=2)
         else:
@@ -167,7 +262,18 @@ class SPADE(nn.Module):
             idx_w = (jnp.arange(W) * w) // W
             seg = segmap[:, idx_h][:, :, idx_w]
 
-        actv = nn.relu(Conv2d(self.nhidden, 3, padding=1, dtype=self.dtype, name="mlp_shared")(seg))
-        gamma = Conv2d(self.norm_features, 3, padding=1, dtype=self.dtype, name="mlp_gamma")(actv)
-        beta = Conv2d(self.norm_features, 3, padding=1, dtype=self.dtype, name="mlp_beta")(actv)
+        actv = nn.relu(self.mlp_shared(seg))
+        gamma = self.mlp_gamma(actv)
+        beta = self.mlp_beta(actv)
         return normalized * (1 + gamma) + beta
+
+
+def _shift2d(x, dy: int, dx: int):
+    """Shift (B, H, W, C) with zero fill: out[i, j] = x[i+dy, j+dx] or 0."""
+    if dy == 0 and dx == 0:
+        return x
+    _, h, w, _ = x.shape
+    pad = [(0, 0), (max(-dy, 0), max(dy, 0)), (max(-dx, 0), max(dx, 0)), (0, 0)]
+    xp = jnp.pad(x, pad)
+    y0, x0 = max(dy, 0), max(dx, 0)
+    return xp[:, y0 : y0 + h, x0 : x0 + w, :]

@@ -110,11 +110,8 @@ class VgDataset:
         n = self.data["object_names"].shape[0]
         return min(n, self.max_samples) if self.max_samples else n
 
-    def sample(self, index: int, rng: np.random.RandomState) -> dict:
-        size = self.image_size
-        img, W, H = _load_image(os.path.join(self.image_dir, self.image_paths[index]), size)
-
-        # relationship-aware object selection (:91-113)
+    def select_objects(self, index: int, rng: np.random.RandomState):
+        """Relationship-aware object selection + shuffle (:91-113)."""
         n_obj = int(self.data["objects_per_image"][index])
         with_rels: set = set()
         without_rels = set(range(n_obj))
@@ -133,6 +130,38 @@ class VgDataset:
             if add:
                 obj_idxs += list(rng.choice(orphans, add, replace=False))
         rng.shuffle(obj_idxs)
+        return obj_idxs
+
+    def sample_meta(self, index: int, rng: np.random.RandomState) -> dict:
+        """Decode + select only; per-object assembly is done per batch
+        (natively when native/libdatapath.so is built)."""
+        size = self.image_size
+        img, W, H = _load_image(os.path.join(self.image_dir, self.image_paths[index]), size)
+        obj_idxs = self.select_objects(index, rng)
+        o_max = self.o_max
+        objs = np.zeros(o_max, np.int32)
+        boxes_px = np.zeros((o_max, 4), np.float64)
+        att_ids = np.full((o_max, self.data["object_attributes"].shape[2]), -1, np.int32)
+        valid = np.zeros(o_max, np.float32)
+        for i, oi in enumerate(obj_idxs):
+            objs[i] = self.data["object_names"][index, oi]
+            boxes_px[i] = self.data["object_boxes"][index, oi]
+            att_ids[i] = self.data["object_attributes"][index, oi]
+            valid[i] = 1.0
+        return {
+            "imgs": img,
+            "objs": objs,
+            "boxes_px": boxes_px,
+            "att_ids": att_ids,
+            "valid": valid,
+            "img_w": float(W),
+            "img_h": float(H),
+        }
+
+    def sample(self, index: int, rng: np.random.RandomState) -> dict:
+        size = self.image_size
+        img, W, H = _load_image(os.path.join(self.image_dir, self.image_paths[index]), size)
+        obj_idxs = self.select_objects(index, rng)
 
         o_max = self.o_max
         objs = np.zeros(o_max, np.int32)
@@ -205,11 +234,38 @@ class Loader:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        from aglayout_tpu.data import native
+
+        use_native = native.load_lib() is not None
+
         def make_batch(bi):
             rng = np.random.RandomState((self.seed + epoch) * 100003 + bi)
             idxs = order[bi * self.batch_size : (bi + 1) * self.batch_size]
-            samples = [self.ds.sample(int(i), rng) for i in idxs]
-            return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            if not use_native:
+                samples = [self.ds.sample(int(i), rng) for i in idxs]
+                return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
+            metas = [self.ds.sample_meta(int(i), rng) for i in idxs]
+            b = len(metas)
+            o = self.ds.o_max
+            size = self.ds.image_size
+            boxes_px = np.stack([m["boxes_px"] for m in metas]).reshape(b * o, 4)
+            att_ids = np.stack([m["att_ids"] for m in metas]).reshape(b * o, -1)
+            valid = np.stack([m["valid"] for m in metas]).reshape(b * o)
+            img_w = np.repeat([m["img_w"] for m in metas], o)
+            img_h = np.repeat([m["img_h"] for m in metas], o)
+            boxes, boxes_s, masks, masks_s, attribute = native.assemble_objects(
+                boxes_px, img_w, img_h, att_ids, valid, self.ds.attribute_dim, size
+            )
+            return {
+                "imgs": np.stack([m["imgs"] for m in metas]),
+                "objs": np.stack([m["objs"] for m in metas]),
+                "boxes": boxes.reshape(b, o, 4),
+                "masks": masks.reshape(b, o, size, size, 1),
+                "valid": valid.reshape(b, o),
+                "attribute": attribute.reshape(b, o, self.ds.attribute_dim),
+                "masks_shift": masks_s.reshape(b, o, size, size, 1),
+                "boxes_shift": boxes_s.reshape(b, o, 4),
+            }
 
         def worker(tid):
             for bi in range(tid, nb, self.num_threads):

@@ -268,41 +268,57 @@ class Decoder(nn.Module):
     conv_dim: int = 64
     dtype: jnp.dtype | None = None
 
-    @nn.compact
+    def setup(self):
+        d = self.conv_dim
+        self.c0_new = Conv2d(d * 4, 3, padding=1, use_bias=False, dtype=self.dtype)
+        self.spade_0 = SPADE(d * 4, dtype=self.dtype)
+        self.dc1 = ConvTranspose2d(d * 4, 4, 2, 1, use_bias=False, dtype=self.dtype)
+        self.spade_1 = SPADE(d * 4, dtype=self.dtype)
+        self.dc2 = ConvTranspose2d(d * 2, 4, 2, 1, use_bias=False, dtype=self.dtype)
+        self.spade_2 = SPADE(d * 2, dtype=self.dtype)
+        self.dc3 = ConvTranspose2d(d, 4, 2, 1, use_bias=False, dtype=self.dtype)
+        self.spade_3 = SPADE(d, dtype=self.dtype)
+        self.c4 = Conv2d(3, 7, padding=3, use_bias=True, dtype=self.dtype)
+        if self.image_size == 128:
+            self.c5 = Conv2d(d * 2, 7, padding=3, use_bias=False, dtype=self.dtype)
+            self.spade_4 = SPADE(d * 2, dtype=self.dtype)
+            self.c6 = Conv2d(d * 2, 5, padding=2, use_bias=False, dtype=self.dtype)
+            self.spade_5 = SPADE(d * 2, dtype=self.dtype)
+            self.c7 = Conv2d(3, 7, padding=3, use_bias=True, dtype=self.dtype)
+
     def __call__(self, hidden, global_h, train: bool):
         ura = not train
-        d = self.conv_dim
         seg = hidden  # (B, 8, 8, 64)
 
         g = jnp.broadcast_to(
             global_h[:, None, None, :], (global_h.shape[0], 8, 8, global_h.shape[-1])
         )
         h = jnp.concatenate([hidden, g.astype(hidden.dtype)], axis=-1)
-        h = Conv2d(d * 4, 3, padding=1, use_bias=False, dtype=self.dtype, name="c0_new")(h)
-        h = SPADE(d * 4, dtype=self.dtype, name="spade_0")(h, seg, ura)
+        h = self.c0_new(h)
+        h = self.spade_0(h, seg, ura)
         h = nn.relu(h)
-        h = ConvTranspose2d(d * 4, 4, 2, 1, use_bias=False, dtype=self.dtype, name="dc1")(h)
-        h = SPADE(d * 4, dtype=self.dtype, name="spade_1")(h, seg, ura)
+        h = self.dc1(h)
+        h = self.spade_1(h, seg, ura)
         h = nn.relu(h)
-        h = ConvTranspose2d(d * 2, 4, 2, 1, use_bias=False, dtype=self.dtype, name="dc2")(h)
-        h = SPADE(d * 2, dtype=self.dtype, name="spade_2")(h, seg, ura)
+        h = self.dc2(h)
+        h = self.spade_2(h, seg, ura)
         h = nn.relu(h)
-        h = ConvTranspose2d(d, 4, 2, 1, use_bias=False, dtype=self.dtype, name="dc3")(h)
-        h = SPADE(d, dtype=self.dtype, name="spade_3")(h, seg, ura)
+        h = self.dc3(h)
+        h = self.spade_3(h, seg, ura)
         h = nn.relu(h)
-        h_64 = Conv2d(3, 7, padding=3, use_bias=True, dtype=self.dtype, name="c4")(h)
+        h_64 = self.c4(h)
         if self.image_size == 64:
             return h_64
 
         # 128: nearest 2x upsample of the 64-res RGB, then refine
         up = jnp.repeat(jnp.repeat(h_64, 2, axis=1), 2, axis=2)
-        h = Conv2d(d * 2, 7, padding=3, use_bias=False, dtype=self.dtype, name="c5")(up)
-        h = SPADE(d * 2, dtype=self.dtype, name="spade_4")(h, seg, ura)
+        h = self.c5(up)
+        h = self.spade_4(h, seg, ura)
         h = nn.relu(h)
-        h = Conv2d(d * 2, 5, padding=2, use_bias=False, dtype=self.dtype, name="c6")(h)
-        h = SPADE(d * 2, dtype=self.dtype, name="spade_5")(h, seg, ura)
+        h = self.c6(h)
+        h = self.spade_5(h, seg, ura)
         h = nn.relu(h)
-        return Conv2d(3, 7, padding=3, use_bias=True, dtype=self.dtype, name="c7")(h)
+        return self.c7(h)
 
 
 class Generator(nn.Module):

@@ -160,3 +160,43 @@ def test_etl_and_runtime_pipeline(vg_dir):
     # co-occurrence builder
     m = build_matrix(os.path.join(vg_dir, "train.h5"), len(vocab["object_idx_to_name"]), 5)
     assert m.sum() > 0
+
+
+def test_native_batch_equals_numpy_batch(vg_dir):
+    """Native per-batch assembly == pure-numpy per-sample assembly."""
+    import json as _json
+
+    from aglayout_tpu.data import native
+
+    if native.load_lib() is None:
+        pytest.skip("native lib not built")
+    with open(os.path.join(vg_dir, "vocab.json")) as f:
+        vocab = _json.load(f)
+    ds = VgDataset(
+        os.path.join(vg_dir, "train.h5"),
+        os.path.join(vg_dir, "images"),
+        vocab,
+        image_size=64,
+        max_objects=6,
+        attribute_dim=5,
+    )
+    rng1 = np.random.RandomState(7)
+    rng2 = np.random.RandomState(7)
+    idxs = [0, 1, min(2, len(ds) - 1)]
+    numpy_samples = [ds.sample(i, rng1) for i in idxs]
+    metas = [ds.sample_meta(i, rng2) for i in idxs]
+    b, o, size = len(idxs), ds.o_max, ds.image_size
+    boxes_px = np.stack([m["boxes_px"] for m in metas]).reshape(b * o, 4)
+    att_ids = np.stack([m["att_ids"] for m in metas]).reshape(b * o, -1)
+    valid = np.stack([m["valid"] for m in metas]).reshape(b * o)
+    img_w = np.repeat([m["img_w"] for m in metas], o)
+    img_h = np.repeat([m["img_h"] for m in metas], o)
+    boxes, boxes_s, masks, masks_s, attribute = native.assemble_objects(
+        boxes_px, img_w, img_h, att_ids, valid, ds.attribute_dim, size
+    )
+    ref = {k: np.stack([s[k] for s in numpy_samples]) for k in numpy_samples[0]}
+    np.testing.assert_allclose(boxes.reshape(b, o, 4), ref["boxes"], atol=1e-6)
+    np.testing.assert_allclose(boxes_s.reshape(b, o, 4), ref["boxes_shift"], atol=1e-6)
+    np.testing.assert_array_equal(masks.reshape(b, o, size, size, 1), ref["masks"])
+    np.testing.assert_array_equal(masks_s.reshape(b, o, size, size, 1), ref["masks_shift"])
+    np.testing.assert_array_equal(attribute.reshape(b, o, -1), ref["attribute"])

@@ -70,7 +70,7 @@ def main():
         }
 
         @jax.jit
-        def bench_many(state, batch, n):
+        def bench_many(state, batch):
             def body(carry, _):
                 st, s = carry
                 st, metrics = step(st, batch)
@@ -82,7 +82,8 @@ def main():
         metric_name = (
             f"{args.image_size}x{args.image_size} GAN train steps/sec/chip (batch {b})"
         )
-        t_fn = lambda: float(bench_many(state, batch, args.iters))  # noqa: E731
+        float(bench_many(state, batch))  # compile + warm
+        t_fn = lambda: float(bench_many(state, batch))  # noqa: E731
         per_call_items = 1.0  # steps
         baseline = None
     else:

@@ -278,13 +278,19 @@ class Decoder(nn.Module):
         self.spade_2 = SPADE(d * 2, dtype=self.dtype)
         self.dc3 = ConvTranspose2d(d, 4, 2, 1, use_bias=False, dtype=self.dtype)
         self.spade_3 = SPADE(d, dtype=self.dtype)
-        self.c4 = Conv2d(3, 7, padding=3, use_bias=True, dtype=self.dtype)
+        # c4/c5/c7 kernels declared with in_features so the MXU-efficient
+        # fastconv rewrites (exact) can read them directly
+        self.c4 = Conv2d(3, 7, padding=3, use_bias=True, dtype=self.dtype, in_features=d)
         if self.image_size == 128:
-            self.c5 = Conv2d(d * 2, 7, padding=3, use_bias=False, dtype=self.dtype)
+            self.c5 = Conv2d(
+                d * 2, 7, padding=3, use_bias=False, dtype=self.dtype, in_features=3
+            )
             self.spade_4 = SPADE(d * 2, dtype=self.dtype)
             self.c6 = Conv2d(d * 2, 5, padding=2, use_bias=False, dtype=self.dtype)
             self.spade_5 = SPADE(d * 2, dtype=self.dtype)
-            self.c7 = Conv2d(3, 7, padding=3, use_bias=True, dtype=self.dtype)
+            self.c7 = Conv2d(
+                3, 7, padding=3, use_bias=True, dtype=self.dtype, in_features=d * 2
+            )
 
     def __call__(self, hidden, global_h, train: bool):
         ura = not train

@@ -127,6 +127,8 @@ def run_inference(
     max_batches: int | None = None,
     edit_target: int = DEFAULT_EDIT_TARGET,
     save_images: bool = True,
+    draw_boxes: bool = False,
+    vocab: dict | None = None,
     seed: int = 0,
 ):
     """Returns the attribute precision/recall summary + edit success rate."""
@@ -194,6 +196,13 @@ def run_inference(
                 ("real", batch["imgs"]),
             ]:
                 u8 = np.asarray(imagenet_deprocess_batch(arr))
+                if draw_boxes:  # test_with_boxes_drawn.py capability
+                    from aglayout_tpu.utils.draw import draw_boxes_batch
+
+                    bx = batch_np["boxes_shift" if name == "shift" else "boxes"]
+                    u8 = draw_boxes_batch(
+                        u8, bx, batch_np["valid"], batch_np["objs"], vocab
+                    )
                 for j in range(b):
                     save_png(
                         os.path.join(result_dir, f"img{bi * b + j:06d}_{name}.png"), u8[j]

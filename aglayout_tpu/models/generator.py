@@ -150,11 +150,18 @@ class LayoutEncoder(nn.Module):
             for i in range(self.resi_num)
         ]
 
-    def _fused_stage1(self, vec, boxes, objs):
-        """Exact eval-mode broadcast+c0+bn1+relu+c2 on rectangular masks.
+    def _fused_stage1(self, vec, boxes, objs, valid=None, train: bool = False):
+        """Exact broadcast+c0+bn1+relu+c2 on rectangular masks.
 
         vec: (B, O, C0) object codes; boxes: (B, O, 4) normalized;
-        objs: (B, O) classes. Returns the c2 output (B*O, S2, S2, 2d).
+        objs: (B, O) classes; valid: (B, O) row mask (train mode).
+        Returns the c2 output (B*O, S2, S2, 2d).
+
+        In train mode the bn1 batch statistics are computed ANALYTICALLY:
+        the c0 output per object is Wv inside its box (area pixels) and 0
+        elsewhere, so the masked batch moments reduce to area-weighted sums
+        over objects — same math as the dense path, no (B*O, S+2, S+2, C)
+        materialization, gradients flow through the closed form.
         """
         b, o, c0_dim = vec.shape
         d = self.conv_dim
@@ -165,7 +172,24 @@ class LayoutEncoder(nn.Module):
 
         w0 = self.c0.kernel[0, 0].astype(dtype)  # (C0, d)
         wv = jnp.einsum("bod,dk->bok", vec.astype(dtype), w0)
-        a, bb = self.bn1.eval_affine(objs.reshape(-1))  # (B*O, d)
+        if not train:
+            a, bb = self.bn1.eval_affine(objs.reshape(-1))  # (B*O, d)
+        else:
+            # analytic masked batch moments of the c0 output
+            wvf = wv.astype(jnp.float32).reshape(b * o, d)
+            r0 = jnp.clip(jnp.round(boxes[..., 1] * size), 0, size)
+            r1 = jnp.clip(jnp.round(boxes[..., 3] * size), 0, size)
+            c0_ = jnp.clip(jnp.round(boxes[..., 0] * size), 0, size)
+            c1 = jnp.clip(jnp.round(boxes[..., 2] * size), 0, size)
+            area = (
+                jnp.maximum(r1 - r0, 0.0) * jnp.maximum(c1 - c0_, 0.0)
+            ).reshape(b * o)
+            w = valid.reshape(b * o).astype(jnp.float32)
+            cnt = jnp.sum(w) * float(in_size * in_size)
+            mean = jnp.sum((w * area)[:, None] * wvf, axis=0) / cnt
+            ex2 = jnp.sum((w * area)[:, None] * wvf * wvf, axis=0) / cnt
+            var = ex2 - mean * mean
+            a, bb = self.bn1.train_affine(objs.reshape(-1), mean, var, cnt)
         a = a.reshape(b, o, d).astype(dtype)
         bb = bb.reshape(b, o, d).astype(dtype)
         p = nn.relu(a * wv + bb)  # inside-box constant
@@ -207,8 +231,8 @@ class LayoutEncoder(nn.Module):
 
         vec = jnp.concatenate([objs_att, z.astype(objs_att.dtype)], axis=-1)
 
-        if masks is None and boxes is not None and not train:
-            h = self._fused_stage1(vec, boxes, objs)
+        if masks is None and boxes is not None:
+            h = self._fused_stage1(vec, boxes, objs, valid, train)
         else:
             hgt, wdt = masks.shape[2], masks.shape[3]
             h = vec[:, :, None, None, :] * masks.astype(vec.dtype)  # (B,O,H,W,C)
@@ -343,6 +367,11 @@ class Generator(nn.Module):
     object_size: int = 32
     clstm_layers: int = 3
     resi_num: int = 6
+    # fused_layout: masks are guaranteed to be rasterizations of the boxes
+    # (true for the VG pipeline and generate()); the layout encoder then
+    # takes its exact fused rectangular-mask path in BOTH train and eval.
+    # Set False when feeding hand-made non-rectangular masks.
+    fused_layout: bool = True
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -397,9 +426,14 @@ class Generator(nn.Module):
         objs_att_est = objs_att_est.reshape(b, o, -1)
         z_rec_d = z_rec.reshape(b, o, -1)
 
-        h_rec = self.layout_encoder(objs_att_est, masks, valid, z_rec_d, objs, train)
-        h_rand = self.layout_encoder(objs_att, masks, valid, z_rand, objs, train)
-        h_shift = self.layout_encoder(objs_att, masks_shift, valid, z_rand, objs, train)
+        m, ms = (None, None) if self.fused_layout else (masks, masks_shift)
+        h_rec = self.layout_encoder(
+            objs_att_est, m, valid, z_rec_d, objs, train, boxes=boxes
+        )
+        h_rand = self.layout_encoder(objs_att, m, valid, z_rand, objs, train, boxes=boxes)
+        h_shift = self.layout_encoder(
+            objs_att, ms, valid, z_rand, objs, train, boxes=boxes_shift
+        )
 
         h_rec_global = self.global_encoder(h_rec, train)
         h_rand_global = self.global_encoder(h_rand, train)

@@ -57,6 +57,22 @@ class MaskedBatchNorm(nn.Module):
             b = b * self.scale + self.bias
         return a, b
 
+    def train_affine(self, mean, var, cnt):
+        """(a, b) for train-mode BN given externally computed batch moments
+        (fused paths compute them analytically); updates running stats with
+        exactly the semantics of __call__ (momentum, unbiased var)."""
+        if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
+            mom = self.momentum
+            unbiased = var * cnt / jnp.maximum(cnt - 1.0, 1.0)
+            self.ra_mean.value = (1 - mom) * self.ra_mean.value + mom * mean
+            self.ra_var.value = (1 - mom) * self.ra_var.value + mom * unbiased
+        a = jax.lax.rsqrt(var + self.epsilon)
+        b = -mean * a
+        if self.affine:
+            a = a * self.scale
+            b = b * self.scale + self.bias
+        return a, b
+
     def __call__(self, x, mask=None, use_running_average: bool = False):
         ra_mean, ra_var = self.ra_mean, self.ra_var
         reduce_axes = tuple(range(x.ndim - 1))
@@ -125,6 +141,13 @@ class ConditionalBatchNorm(nn.Module):
     def eval_affine(self, y):
         """Per-row (a, b) with eval-mode CBN(x, y) == a * x + b (channelwise)."""
         a0, b0 = self.bn.eval_affine()
+        gamma, beta = jnp.split(self.embed(y), 2, axis=-1)
+        return gamma * a0, gamma * b0 + beta
+
+    def train_affine(self, y, mean, var, cnt):
+        """Per-row (a, b) for train-mode CBN given analytic batch moments;
+        updates the underlying BN running stats."""
+        a0, b0 = self.bn.train_affine(mean, var, cnt)
         gamma, beta = jnp.split(self.embed(y), 2, axis=-1)
         return gamma * a0, gamma * b0 + beta
 

@@ -4,6 +4,7 @@ from aglayout_tpu.ops.bilinear import (
     crop_bbox,
     crop_bbox_dense,
     crop_bbox_flat,
+    uncrop_bbox,
 )
 from aglayout_tpu.ops.rasterize import rasterize_boxes, shift_boxes
 from aglayout_tpu.ops.image import (

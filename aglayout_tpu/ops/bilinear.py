@@ -107,6 +107,47 @@ def crop_bbox_dense(
     return jnp.einsum("boywc,boxw->boyxc", tmp, rx, precision=jax.lax.Precision.HIGHEST)
 
 
+def uncrop_bbox(feats, boxes, out_h: int, out_w: int | None = None, fill_value: float = 0.0):
+    """Inverse of crop_bbox: paste each crop into its box on a canvas.
+
+    feats: (N, hh, ww, C) crops; boxes: (N, 4) normalized [x0, y0, x1, y1].
+    Returns (N, out_h, out_w, C) canvases where the region given by box[i]
+    contains feats[i] bilinearly resampled; outside-box pixels take
+    fill_value. Mirrors the reference's uncrop_bbox (bilinear.py:139-191):
+    canvas pixel (y, x) samples the crop at ((x/W - x0)/w, (y/H - y0)/h).
+    """
+    if out_w is None:
+        out_w = out_h
+    n, hh, ww, _ = feats.shape
+    x0, y0 = boxes[:, 0], boxes[:, 1]
+    bw = boxes[:, 2] - x0
+    bh = boxes[:, 3] - y0
+    xs = jnp.linspace(0.0, 1.0, out_w)
+    ys = jnp.linspace(0.0, 1.0, out_h)
+    u = (xs[None, :] - x0[:, None]) / jnp.where(bw == 0, 1.0, bw)[:, None]  # (N, W)
+    v = (ys[None, :] - y0[:, None]) / jnp.where(bh == 0, 1.0, bh)[:, None]  # (N, H)
+
+    def axis_matrix(t, size):
+        # rows: output positions; cols: crop pixels (coord t*size, reference
+        # 'jj' backend convention with clamped corners)
+        coord = t * size
+        i0 = jnp.clip(jnp.floor(coord), 0, size - 1)
+        i1 = jnp.clip(i0 + 1, 0, size - 1)
+        w1 = coord - jnp.floor(coord)
+        eye0 = jax.nn.one_hot(i0.astype(jnp.int32), size, dtype=feats.dtype)
+        eye1 = jax.nn.one_hot(i1.astype(jnp.int32), size, dtype=feats.dtype)
+        return (1.0 - w1)[..., None] * eye0 + w1[..., None] * eye1
+
+    ry = axis_matrix(v, hh)  # (N, out_h, hh)
+    rx = axis_matrix(u, ww)  # (N, out_w, ww)
+    out = jnp.einsum("nyh,nhwc->nywc", ry, feats, precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("nywc,nxw->nyxc", out, rx, precision=jax.lax.Precision.HIGHEST)
+    inside = (
+        ((u >= 0) & (u <= 1))[:, None, :, None] & ((v >= 0) & (v <= 1))[:, :, None, None]
+    )
+    return jnp.where(inside, out, fill_value)
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def crop_bbox_flat(
     feats: jax.Array,

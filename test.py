@@ -25,6 +25,8 @@ def main():
     p.add_argument("--max_batches", type=int, default=None)
     p.add_argument("--edit_target", type=int, default=95, help="95 = black")
     p.add_argument("--no_images", action="store_true")
+    p.add_argument("--draw_boxes", action="store_true",
+                   help="draw colored layout boxes on saved images (test_with_boxes_drawn)")
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--torch_netG", type=str, default=None, help="reference netG .pkl to import")
     p.add_argument("--torch_netD_att", type=str, default=None)
@@ -53,6 +55,7 @@ def main():
                 )
 
         data = loader()
+        vocab = None
     else:
         from aglayout_tpu.data.dataset import get_dataloaders
 
@@ -92,6 +95,8 @@ def main():
         max_batches=args.max_batches,
         edit_target=args.edit_target,
         save_images=not args.no_images,
+        draw_boxes=args.draw_boxes,
+        vocab=None if args.synthetic else vocab,
     )
     print(json.dumps(summary, indent=2))
 

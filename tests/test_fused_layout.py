@@ -71,3 +71,47 @@ def test_fused_generate_matches_masked_path(image_size, object_size):
         variables, objs, boxes, valid, z, attr, masks, False, method=Generator.generate
     )
     np.testing.assert_allclose(np.asarray(fused), np.asarray(classic), atol=2e-4)
+
+
+@pytest.mark.parametrize("image_size,object_size", [(64, 32)])
+def test_fused_train_forward_matches_masked_path(image_size, object_size):
+    """Train-mode fused stage-1 (analytic batch stats) must match the dense
+    masked path: outputs AND updated BN running stats."""
+    model, variables, objs, boxes, valid, z, attr, masks = _setup(image_size, object_size)
+    model_dense = Generator(
+        num_classes=NUM_CLASSES,
+        image_size=image_size,
+        object_size=object_size,
+        clstm_layers=2,
+        resi_num=1,
+        fused_layout=False,
+    )
+    batch = dict(
+        imgs=jnp.asarray(np.random.RandomState(9).randn(2, image_size, image_size, 3).astype(np.float32)),
+        objs=objs,
+        boxes=boxes,
+        masks=masks,
+        valid=valid,
+        z_rand=z,
+        attribute=attr,
+        masks_shift=masks,
+        boxes_shift=boxes,
+        attribute_est=attr,
+    )
+    out_f, mut_f = model.apply(
+        variables, **batch, train=True,
+        rngs={"reparam": jax.random.PRNGKey(5)}, mutable=["batch_stats"],
+    )
+    out_d, mut_d = model_dense.apply(
+        variables, **batch, train=True,
+        rngs={"reparam": jax.random.PRNGKey(5)}, mutable=["batch_stats"],
+    )
+    for k in ("img_rec", "img_rand", "img_shift", "mu", "z_rand_rec"):
+        np.testing.assert_allclose(
+            np.asarray(out_f[k]), np.asarray(out_d[k]), atol=3e-4, err_msg=k
+        )
+    # bn1 running stats updated identically by the analytic moments
+    sf = mut_f["batch_stats"]["layout_encoder"]["bn1"]["bn"]
+    sd = mut_d["batch_stats"]["layout_encoder"]["bn1"]["bn"]
+    np.testing.assert_allclose(np.asarray(sf["mean"]), np.asarray(sd["mean"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sf["var"]), np.asarray(sd["var"]), atol=1e-5)

@@ -143,3 +143,21 @@ def test_imagenet_roundtrip():
     dep = imagenet_deprocess_batch(norm)
     assert dep.dtype == jnp.uint8
     assert int(jnp.max(dep)) == 255 and int(jnp.min(dep)) == 0  # per-image rescale
+
+
+def test_uncrop_bbox_roundtrip():
+    """Pasting a full-image 'crop' back with box [0,0,1,1] is ~identity in
+    the interior, and outside-box pixels take the fill value."""
+    from aglayout_tpu.ops import uncrop_bbox
+
+    rng = np.random.RandomState(5)
+    feats = rng.randn(2, 8, 8, 3).astype(np.float32)
+    boxes = np.array([[0.25, 0.25, 0.75, 0.75], [0.0, 0.0, 1.0, 1.0]], np.float32)
+    out = np.asarray(uncrop_bbox(jnp.asarray(feats), jnp.asarray(boxes), 16, fill_value=-7.0))
+    assert out.shape == (2, 16, 16, 3)
+    # sample 0: pixels outside the box are fill
+    assert np.all(out[0, 0, 0] == -7.0) and np.all(out[0, -1, -1] == -7.0)
+    # inside the box, values come from the crop (finite, not fill)
+    assert np.all(out[0, 8, 8] != -7.0)
+    # sample 1: full box -> corner equals crop corner (coord 0 -> pixel 0)
+    np.testing.assert_allclose(out[1, 0, 0], feats[1, 0, 0], atol=1e-5)

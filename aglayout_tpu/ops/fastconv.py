@@ -19,10 +19,12 @@ Both are bit-exact reformulations (tests vs lax.conv); gradients flow
 through plain jnp ops.
 
 STATUS: measured on TPU v5e via XLA, the shifted-slice reductions do NOT
-fuse well (128^2 serving regressed 1670 -> 1478 img/s), so the decoder
-currently uses plain convs. These rewrites are the spec for a Pallas kernel
-where the matmul and the in-VMEM shifted reduction fuse into one pass —
-the profitable form of this optimization.
+fuse well (128^2 serving regressed 1670 -> 1478 img/s) — XLA materializes
+the shifted partials. The profitable form is the Pallas kernel in
+ops/pallas_conv_nchw.py (matmul + in-VMEM shifted reduction in one pass,
+1.46x the XLA conv), which the decoder uses on TPU for c4/c7. These
+jnp-level rewrites remain as the readable spec and the CPU-testable
+reference.
 """
 
 from __future__ import annotations

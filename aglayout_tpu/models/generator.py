@@ -214,11 +214,16 @@ class LayoutEncoder(nn.Module):
         rr = rect_win(boxes[..., 1], boxes[..., 3])
         cc = rect_win(boxes[..., 0], boxes[..., 2])
 
-        hq = jnp.einsum("yh,bohwc->boywc", inb, kq)
-        hq = jnp.einsum("xw,boywc->boyxc", inb, hq)
-        hp = jnp.einsum("boyh,bohwc->boywc", rr, kp)
-        hp = jnp.einsum("boxw,boywc->boyxc", cc, hp)
-        return (hq + hp).reshape(b * o, out_size, out_size, 2 * d)
+        # window application as 4-term broadcast-MACs: XLA fuses these into
+        # one pass over the (B, O, Y, X, C) output (K=4 matmuls tile poorly
+        # on the 128-wide MXU)
+        tq = jnp.einsum("yh,bohwc->boywc", inb, kq)  # (B, O, Y, 4, C)
+        tp = jnp.einsum("boyh,bohwc->boywc", rr, kp)
+        out = 0.0
+        for dx in range(4):
+            out = out + inb[None, None, None, :, dx, None] * tq[:, :, :, None, dx, :]
+            out = out + cc[:, :, None, :, dx, None] * tp[:, :, :, None, dx, :]
+        return out.reshape(b * o, out_size, out_size, 2 * d)
 
     def __call__(self, objs_att, masks, valid, z, objs, train: bool, boxes=None):
         # objs_att: (B, O, 64); masks: (B, O, H, W, 1) or None (serving fast

@@ -22,9 +22,10 @@ STATUS: measured on TPU v5e via XLA, the shifted-slice reductions do NOT
 fuse well (128^2 serving regressed 1670 -> 1478 img/s) — XLA materializes
 the shifted partials. The profitable form is the Pallas kernel in
 ops/pallas_conv_nchw.py (matmul + in-VMEM shifted reduction in one pass,
-1.46x the XLA conv), which the decoder uses on TPU for c4/c7. These
-jnp-level rewrites remain as the readable spec and the CPU-testable
-reference.
+1.46x the XLA conv), which the decoder uses on TPU for c4/c7. conv_up2_rgb alone was also measured in-model (1835 -> 1571 img/s: the
+shifted-stack materialization loses to XLA fusing the 2x repeat into the
+conv input read). These jnp-level rewrites remain as the readable spec and
+the CPU-testable reference.
 """
 
 from __future__ import annotations

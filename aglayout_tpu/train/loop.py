@@ -70,9 +70,14 @@ def train(cfg: Config, loader=None, niter: int | None = None, use_tensorboard: b
     it = iter(loader)
     t0 = time.time()
     metrics = {}
+    # one-batch device prefetch: device_put is async, so the next batch's
+    # host->device transfer overlaps the current step's compute
+    pending = shard_batch(next(it), mesh)
     for i in range(start, niter):
-        batch = shard_batch(next(it), mesh)
+        batch = pending
         state, metrics = sharded_step(state, batch)
+        if i + 1 < niter:
+            pending = shard_batch(next(it), mesh)
 
         if (i + 1) % cfg.log_step == 0:
             m = {k: float(v) for k, v in metrics.items()}

@@ -24,6 +24,8 @@ def build_parser():
             p.add_argument(f"--{f.name}", type=typ, default=f.default)
     p.add_argument("--use_tensorboard", type=lambda v: v.lower() == "true", default=True)
     p.add_argument("--synthetic", action="store_true", help="train on synthetic data (smoke)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="capture a jax.profiler trace of ~20 steps to this directory")
     return p
 
 
@@ -58,7 +60,14 @@ def main():
 
     from aglayout_tpu.train.loop import train
 
-    train(cfg, loader=loader, use_tensorboard=args.use_tensorboard)
+    if args.profile:
+        from aglayout_tpu.utils.profiling import trace
+
+        with trace(args.profile):
+            train(cfg, loader=loader, niter=min(cfg.niter, 20),
+                  use_tensorboard=args.use_tensorboard)
+    else:
+        train(cfg, loader=loader, use_tensorboard=args.use_tensorboard)
 
 
 if __name__ == "__main__":

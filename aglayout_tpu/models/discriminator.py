@@ -49,9 +49,15 @@ class OptimizedBlock(nn.Module):
 
 
 class DResidualBlock(nn.Module):
-    """Pre-activation resblock: relu-conv-relu-conv(-pool) + sc(-pool).
+    """Pre-activation resblock: relu-conv-relu-conv(-pool) + sc(relu(x))(-pool).
 
-    Reference: models/discriminator.py:63-99.
+    Reference: models/discriminator.py:63-99. NOTE the shortcut consumes
+    relu(x), not x: the reference's ``residual(x) + shortcut(x)`` evaluates
+    ``residual`` first, whose leading ``ReLU(inplace=True)`` mutates x in
+    place before ``shortcut`` reads it. The effective (and executed)
+    architecture is therefore the standard shared-pre-activation SNGAN
+    block — verified element-wise against the reference model in
+    tests/test_reference_parity.py.
     """
 
     features: int
@@ -61,13 +67,13 @@ class DResidualBlock(nn.Module):
     @nn.compact
     def __call__(self, x, update_stats: bool = True):
         in_ch = x.shape[-1]
-        h = nn.relu(x)
-        h = SNConv2d(in_ch, 3, padding=1, dtype=self.dtype, name="conv1")(h, update_stats)
+        y = nn.relu(x)  # shared pre-activation (see docstring)
+        h = SNConv2d(in_ch, 3, padding=1, dtype=self.dtype, name="conv1")(y, update_stats)
         h = nn.relu(h)
         h = SNConv2d(self.features, 3, padding=1, dtype=self.dtype, name="conv2")(h, update_stats)
         if self.downsample:
             h = avg_pool2(h)
-        s = x
+        s = y
         if self.downsample or in_ch != self.features:
             s = SNConv2d(self.features, 1, padding=0, dtype=self.dtype, name="sc")(s, update_stats)
         if self.downsample:

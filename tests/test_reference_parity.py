@@ -1,0 +1,224 @@
+"""Full per-sample parity vs the actual reference PyTorch model.
+
+Imports the reference implementation from /root/reference (read-only) on
+CPU, builds it with random weights, converts its state_dict through our
+torch importer, and compares full forward outputs element-wise. This is the
+"per-sample fidelity validated against reference PyTorch checkpoints"
+requirement of BASELINE.md exercised end-to-end (with random weights in
+place of the unpublished pretrained ones — the math path is identical).
+
+torch>=1.3 changed F.grid_sample's default to align_corners=False; the
+reference ran torch 1.1 (align_corners=True semantics, README.md:10), so
+grid_sample is wrapped to restore the original behavior for the comparison.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF), reason="reference not mounted")
+
+
+@pytest.fixture(scope="module")
+def reference_generator():
+    import torch
+    import torch.nn.functional as F
+
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    # restore torch-1.1 grid_sample semantics the reference was written for
+    orig = F.grid_sample
+
+    def grid_sample_11(input, grid, **kw):
+        kw.setdefault("align_corners", True)
+        return orig(input, grid, **kw)
+
+    F.grid_sample = grid_sample_11
+    try:
+        from models.generator_obj_att import Generator as RefGenerator
+    except Exception as e:  # pragma: no cover
+        F.grid_sample = orig
+        pytest.skip(f"reference import failed: {e}")
+    torch.manual_seed(0)
+    ref = RefGenerator(
+        num_embeddings=23, obj_att_dim=64, z_dim=64, obj_size=32,
+        clstm_layers=3, attribute_dim=106,
+    )
+    ref.eval()
+    yield ref, torch
+    F.grid_sample = orig
+
+
+def test_full_generator_parity_vs_reference(reference_generator):
+    ref, torch = reference_generator
+    import jax
+    import jax.numpy as jnp
+
+    from aglayout_tpu.models.generator import Generator
+    from aglayout_tpu.ops.rasterize import rasterize_boxes
+    from aglayout_tpu.utils.torch_import import import_generator
+
+    b, o, size, obj_size = 2, 3, 64, 32
+    rng = np.random.RandomState(0)
+    imgs = rng.randn(b, 3, size, size).astype(np.float32)
+    objs = rng.randint(0, 23, (b, o)).astype(np.int64)
+    xy0 = rng.uniform(0.05, 0.5, (b, o, 2)).astype(np.float32)
+    wh = rng.uniform(0.15, 0.4, (b, o, 2)).astype(np.float32)
+    boxes = np.concatenate([xy0, np.minimum(xy0 + wh, 1.0)], -1).astype(np.float32)
+    attrs = (rng.rand(b, o, 106) < 0.1).astype(np.float32)
+    z_rand = rng.randn(b, o, 64).astype(np.float32)
+    # shifted variant: reuse boxes (shift math already unit-tested)
+    boxes_shift = boxes.copy()
+    masks = np.asarray(rasterize_boxes(jnp.asarray(boxes), size, size))[..., None]
+
+    # ---- reference forward (flat contract, eval mode)
+    t = torch.as_tensor
+    flat = lambda x: x.reshape((b * o,) + x.shape[2:])  # noqa: E731
+    obj_to_img = np.repeat(np.arange(b), o)
+    with torch.no_grad():
+        ref_out = ref(
+            t(imgs),
+            t(flat(objs)),
+            t(flat(boxes)),
+            t(flat(masks.transpose(0, 1, 4, 2, 3))),  # (O,1,H,W)
+            t(obj_to_img),
+            t(flat(z_rand)),
+            t(flat(attrs)),
+            t(flat(masks.transpose(0, 1, 4, 2, 3))),
+            t(flat(boxes_shift)),
+            t(flat(attrs)),
+        )
+    (r_crops, r_crops_rec, r_crops_rand, r_crops_shift, r_img_rec, r_img_rand,
+     r_img_shift, r_mu, r_logvar, r_z_rand_rec, r_z_rand_shift) = [
+        x.numpy() for x in ref_out
+    ]
+
+    # ---- our forward with imported weights
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params, stats = import_generator(sd, image_size=64, clstm_layers=3)
+    model = Generator(num_classes=23, image_size=64, object_size=32, clstm_layers=3)
+    # template init to obtain the full batch_stats structure (u/v-free nets)
+    batch = dict(
+        imgs=jnp.asarray(imgs.transpose(0, 2, 3, 1)),
+        objs=jnp.asarray(objs.astype(np.int32)),
+        boxes=jnp.asarray(boxes),
+        masks=jnp.asarray(masks),
+        valid=jnp.ones((b, o), jnp.float32),
+        z_rand=jnp.asarray(z_rand),
+        attribute=jnp.asarray(attrs),
+        masks_shift=jnp.asarray(masks),
+        boxes_shift=jnp.asarray(boxes_shift),
+        attribute_est=jnp.asarray(attrs),
+    )
+    template = model.init(
+        {"params": jax.random.PRNGKey(0), "reparam": jax.random.PRNGKey(1)},
+        **batch,
+        train=True,
+    )
+    # imported trees must cover the template exactly (same structure)
+    tpaths = set(
+        jax.tree_util.keystr(p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(template["params"])[0]
+    )
+    ipaths = set(jax.tree_util.keystr(p) for p, _ in jax.tree_util.tree_flatten_with_path(params)[0])
+    assert tpaths == ipaths, (tpaths - ipaths, ipaths - tpaths)
+
+    out = model.apply(
+        {"params": params, "batch_stats": stats},
+        **batch,
+        train=False,
+        rngs={"reparam": jax.random.PRNGKey(2)},
+    )
+
+    def check(name, ours, theirs, is_image=True, atol=2e-3):
+        ours = np.asarray(ours)
+        if is_image:
+            ours = ours.transpose(0, 3, 1, 2) if ours.ndim == 4 else ours
+        np.testing.assert_allclose(ours, theirs, atol=atol, err_msg=name)
+
+    check("img_rand", out["img_rand"], r_img_rand)
+    check("img_shift", out["img_shift"], r_img_shift)
+    check("mu", out["mu"], r_mu, is_image=False)
+    check("logvar", out["logvar"], r_logvar, is_image=False)
+    check("z_rand_rec", out["z_rand_rec"], r_z_rand_rec, is_image=False)
+    check("z_rand_shift", out["z_rand_shift"], r_z_rand_shift, is_image=False)
+    check(
+        "crops_input",
+        np.asarray(out["crops_input"]).reshape(b * o, obj_size, obj_size, 3),
+        r_crops,
+    )
+    check(
+        "crops_rand",
+        np.asarray(out["crops_rand"]).reshape(b * o, obj_size, obj_size, 3),
+        r_crops_rand,
+    )
+    # img_rec depends on z_rec (random eps in both impls) — parity holds for
+    # the deterministic mu-driven outputs checked above.
+
+
+def test_discriminators_parity_vs_reference(reference_generator):
+    _, torch = reference_generator
+    import jax.numpy as jnp
+
+    from models.discriminator import (  # reference, via sys.path
+        AttributeDiscriminator as RefAttD,
+        ImageDiscriminator as RefImgD,
+        ObjectDiscriminator as RefObjD,
+        add_sn,
+    )
+
+    from aglayout_tpu.models.discriminator import (
+        AttributeDiscriminator,
+        ImageDiscriminator,
+        ObjectDiscriminator,
+    )
+    from aglayout_tpu.utils.torch_import import (
+        import_attribute_discriminator,
+        import_image_discriminator,
+        import_object_discriminator,
+    )
+
+    torch.manual_seed(1)
+    rng = np.random.RandomState(1)
+    imgs = rng.randn(2, 3, 64, 64).astype(np.float32)
+    crops = rng.randn(4, 3, 32, 32).astype(np.float32)
+
+    def converge_sn(module, x):
+        # real checkpoints carry converged power-iteration state; replicate
+        module.train()
+        with torch.no_grad():
+            for _ in range(30):
+                module(torch.as_tensor(x))
+        module.eval()
+        return module
+
+    rd = converge_sn(add_sn(RefImgD(conv_dim=64)), imgs)
+    with torch.no_grad():
+        ref_out = rd(torch.as_tensor(imgs)).numpy()
+    p, s = import_image_discriminator({k: v.numpy() for k, v in rd.state_dict().items()})
+    ours = ImageDiscriminator().apply(
+        {"params": p, "batch_stats": s}, jnp.asarray(imgs.transpose(0, 2, 3, 1)), False
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-4)
+
+    rd = converge_sn(add_sn(RefObjD(n_class=23)), crops)
+    with torch.no_grad():
+        r_src, r_cls = [x.numpy() for x in rd(torch.as_tensor(crops))]
+    p, s = import_object_discriminator({k: v.numpy() for k, v in rd.state_dict().items()})
+    src, cls = ObjectDiscriminator(n_class=23).apply(
+        {"params": p, "batch_stats": s}, jnp.asarray(crops.transpose(0, 2, 3, 1)), False
+    )
+    np.testing.assert_allclose(np.asarray(src), r_src, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(cls), r_cls, rtol=2e-4, atol=1e-4)
+
+    rd = converge_sn(add_sn(RefAttD(n_attribute=106)), crops)
+    with torch.no_grad():
+        ref_att = rd(torch.as_tensor(crops)).numpy()
+    p, s = import_attribute_discriminator({k: v.numpy() for k, v in rd.state_dict().items()})
+    att = AttributeDiscriminator(n_attribute=106).apply(
+        {"params": p, "batch_stats": s}, jnp.asarray(crops.transpose(0, 2, 3, 1)), False
+    )
+    np.testing.assert_allclose(np.asarray(att), ref_att, rtol=2e-4, atol=1e-4)

@@ -18,7 +18,6 @@ with in/out swapped; we store the kernel already in forward-conv HWIO form
 
 from __future__ import annotations
 
-from typing import Any
 
 import flax.linen as nn
 import jax

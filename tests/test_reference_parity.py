@@ -222,3 +222,76 @@ def test_discriminators_parity_vs_reference(reference_generator):
         {"params": p, "batch_stats": s}, jnp.asarray(crops.transpose(0, 2, 3, 1)), False
     )
     np.testing.assert_allclose(np.asarray(att), ref_att, rtol=2e-4, atol=1e-4)
+
+
+def test_full_generator128_parity_vs_reference(reference_generator):
+    """Same element-wise parity for the 128^2 model (pool + upsample tail,
+    fused SPADE f=16 path)."""
+    _, torch = reference_generator
+    import jax
+    import jax.numpy as jnp
+
+    from models.generator_obj_att128 import Generator as RefGenerator128
+
+    from aglayout_tpu.models.generator import Generator
+    from aglayout_tpu.ops.rasterize import rasterize_boxes
+    from aglayout_tpu.utils.torch_import import import_generator
+
+    torch.manual_seed(3)
+    ref = RefGenerator128(
+        num_embeddings=11, obj_att_dim=64, z_dim=64, obj_size=64,
+        clstm_layers=3, attribute_dim=106,
+    )
+    ref.eval()
+
+    b, o, size, obj_size = 1, 3, 128, 64
+    rng = np.random.RandomState(3)
+    imgs = rng.randn(b, 3, size, size).astype(np.float32)
+    objs = rng.randint(0, 11, (b, o)).astype(np.int64)
+    xy0 = rng.uniform(0.05, 0.5, (b, o, 2)).astype(np.float32)
+    wh = rng.uniform(0.15, 0.4, (b, o, 2)).astype(np.float32)
+    boxes = np.concatenate([xy0, np.minimum(xy0 + wh, 1.0)], -1).astype(np.float32)
+    attrs = (rng.rand(b, o, 106) < 0.1).astype(np.float32)
+    z_rand = rng.randn(b, o, 64).astype(np.float32)
+    masks = np.asarray(rasterize_boxes(jnp.asarray(boxes), size, size))[..., None]
+
+    t = torch.as_tensor
+    flat = lambda x: np.ascontiguousarray(x.reshape((b * o,) + x.shape[2:]))  # noqa: E731
+    obj_to_img = np.repeat(np.arange(b), o)
+    with torch.no_grad():
+        ref_out = ref(
+            t(imgs), t(flat(objs)), t(flat(boxes)),
+            t(flat(masks.transpose(0, 1, 4, 2, 3))), t(obj_to_img),
+            t(flat(z_rand)), t(flat(attrs)),
+            t(flat(masks.transpose(0, 1, 4, 2, 3))), t(flat(boxes)), t(flat(attrs)),
+        )
+    r_img_rand = ref_out[5].numpy()
+    r_mu = ref_out[7].numpy()
+    r_z_rand_rec = ref_out[9].numpy()
+
+    sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+    params, stats = import_generator(sd, image_size=128, clstm_layers=3)
+    model = Generator(num_classes=11, image_size=128, object_size=64, clstm_layers=3)
+    batch = dict(
+        imgs=jnp.asarray(imgs.transpose(0, 2, 3, 1)),
+        objs=jnp.asarray(objs.astype(np.int32)),
+        boxes=jnp.asarray(boxes),
+        masks=jnp.asarray(masks),
+        valid=jnp.ones((b, o), jnp.float32),
+        z_rand=jnp.asarray(z_rand),
+        attribute=jnp.asarray(attrs),
+        masks_shift=jnp.asarray(masks),
+        boxes_shift=jnp.asarray(boxes),
+        attribute_est=jnp.asarray(attrs),
+    )
+    out = model.apply(
+        {"params": params, "batch_stats": stats},
+        **batch,
+        train=False,
+        rngs={"reparam": jax.random.PRNGKey(7)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["img_rand"]).transpose(0, 3, 1, 2), r_img_rand, atol=3e-3
+    )
+    np.testing.assert_allclose(np.asarray(out["mu"]), r_mu, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out["z_rand_rec"]), r_z_rand_rec, atol=2e-3)

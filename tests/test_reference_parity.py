@@ -295,3 +295,32 @@ def test_full_generator128_parity_vs_reference(reference_generator):
     )
     np.testing.assert_allclose(np.asarray(out["mu"]), r_mu, atol=2e-3)
     np.testing.assert_allclose(np.asarray(out["z_rand_rec"]), r_z_rand_rec, atol=2e-3)
+
+
+def test_attribute_discriminator128_parity(reference_generator):
+    _, torch = reference_generator
+    import jax.numpy as jnp
+
+    from models.discriminator import AttributeDiscriminator128 as RefAttD128, add_sn
+
+    from aglayout_tpu.models.discriminator import AttributeDiscriminator
+    from aglayout_tpu.utils.torch_import import import_attribute_discriminator
+
+    torch.manual_seed(4)
+    rng = np.random.RandomState(4)
+    crops = rng.randn(2, 3, 64, 64).astype(np.float32)
+    rd = add_sn(RefAttD128(n_attribute=106))
+    rd.train()
+    with torch.no_grad():
+        for _ in range(30):
+            rd(torch.as_tensor(crops))
+    rd.eval()
+    with torch.no_grad():
+        ref = rd(torch.as_tensor(crops)).numpy()
+    p, s = import_attribute_discriminator(
+        {k: v.numpy() for k, v in rd.state_dict().items()}, extra_block=True
+    )
+    ours = AttributeDiscriminator(n_attribute=106, extra_block=True).apply(
+        {"params": p, "batch_stats": s}, jnp.asarray(crops.transpose(0, 2, 3, 1)), False
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref, rtol=5e-4, atol=1e-4)

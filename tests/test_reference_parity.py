@@ -70,9 +70,12 @@ def test_full_generator_parity_vs_reference(reference_generator):
     boxes = np.concatenate([xy0, np.minimum(xy0 + wh, 1.0)], -1).astype(np.float32)
     attrs = (rng.rand(b, o, 106) < 0.1).astype(np.float32)
     z_rand = rng.randn(b, o, 64).astype(np.float32)
-    # shifted variant: reuse boxes (shift math already unit-tested)
-    boxes_shift = boxes.copy()
+    # genuinely shifted variant: different boxes, own rasterized masks
+    xy0s = rng.uniform(0.05, 0.5, (b, o, 2)).astype(np.float32)
+    whs = rng.uniform(0.15, 0.4, (b, o, 2)).astype(np.float32)
+    boxes_shift = np.concatenate([xy0s, np.minimum(xy0s + whs, 1.0)], -1).astype(np.float32)
     masks = np.asarray(rasterize_boxes(jnp.asarray(boxes), size, size))[..., None]
+    masks_shift = np.asarray(rasterize_boxes(jnp.asarray(boxes_shift), size, size))[..., None]
 
     # ---- reference forward (flat contract, eval mode)
     t = torch.as_tensor
@@ -87,7 +90,7 @@ def test_full_generator_parity_vs_reference(reference_generator):
             t(obj_to_img),
             t(flat(z_rand)),
             t(flat(attrs)),
-            t(flat(masks.transpose(0, 1, 4, 2, 3))),
+            t(flat(masks_shift.transpose(0, 1, 4, 2, 3))),
             t(flat(boxes_shift)),
             t(flat(attrs)),
         )
@@ -109,7 +112,7 @@ def test_full_generator_parity_vs_reference(reference_generator):
         valid=jnp.ones((b, o), jnp.float32),
         z_rand=jnp.asarray(z_rand),
         attribute=jnp.asarray(attrs),
-        masks_shift=jnp.asarray(masks),
+        masks_shift=jnp.asarray(masks_shift),
         boxes_shift=jnp.asarray(boxes_shift),
         attribute_est=jnp.asarray(attrs),
     )
@@ -157,6 +160,159 @@ def test_full_generator_parity_vs_reference(reference_generator):
     )
     # img_rec depends on z_rec (random eps in both impls) — parity holds for
     # the deterministic mu-driven outputs checked above.
+
+
+def test_ragged_train_mode_parity_vs_reference(reference_generator):
+    """The dense-padding redesign's riskiest semantics vs ground truth:
+
+    * ragged object counts (2/4/5 objects across a 3-image batch) — the
+      reference flat-packs real objects (models/generator_obj_att.py:285-346
+      groups them per image); we pad to O_max=5 with a validity mask, so this
+      exercises masked BatchNorm statistics (real rows only), the analytic
+      fused-stage-1 train-mode moments, and ConvLSTM carry-through padding;
+    * train mode (ref.train()) — batch-statistic normalization everywhere
+      AND the running-stat updates (momentum 0.1, unbiased var) compared
+      against the reference's post-forward state_dict;
+    * genuinely shifted boxes_shift (different from boxes), so the shift
+      branch runs with its own rasterized masks;
+    * a deterministic img_rec comparison: fc_logvar is pinned to -40 so
+      z_rec == mu up to ~1e-8 on both sides regardless of the eps draw.
+    """
+    _, torch = reference_generator
+    import jax
+    import jax.numpy as jnp
+
+    from models.generator_obj_att import Generator as RefGenerator
+
+    from aglayout_tpu.models.generator import Generator
+    from aglayout_tpu.ops.rasterize import rasterize_boxes
+    from aglayout_tpu.utils.torch_import import import_generator
+
+    torch.manual_seed(5)
+    ref = RefGenerator(
+        num_embeddings=13, obj_att_dim=64, z_dim=64, obj_size=32,
+        clstm_layers=3, attribute_dim=106,
+    )
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if "fc_logvar" in name:
+                p.zero_() if name.endswith("weight") else p.fill_(-40.0)
+    ref.train()
+
+    b, o_max, size, obj_size = 3, 5, 64, 32
+    counts = [2, 4, 5]
+    n_real = sum(counts)
+    rng = np.random.RandomState(5)
+    imgs = rng.randn(b, 3, size, size).astype(np.float32)
+
+    def rand_boxes(r):
+        xy0 = r.uniform(0.05, 0.5, (b, o_max, 2)).astype(np.float32)
+        wh = r.uniform(0.15, 0.4, (b, o_max, 2)).astype(np.float32)
+        return np.concatenate([xy0, np.minimum(xy0 + wh, 1.0)], -1).astype(np.float32)
+
+    objs = rng.randint(0, 13, (b, o_max)).astype(np.int64)
+    boxes = rand_boxes(rng)
+    boxes_shift = rand_boxes(rng)  # genuinely different shift boxes
+    attrs = (rng.rand(b, o_max, 106) < 0.1).astype(np.float32)
+    z_rand = rng.randn(b, o_max, 64).astype(np.float32)
+    valid = np.zeros((b, o_max), np.float32)
+    for i, c in enumerate(counts):
+        valid[i, :c] = 1.0
+    masks = np.asarray(rasterize_boxes(jnp.asarray(boxes), size, size))[..., None]
+    masks_shift = np.asarray(rasterize_boxes(jnp.asarray(boxes_shift), size, size))[..., None]
+
+    # ---- reference forward: flat-packed real rows only, train mode
+    sel = valid.reshape(-1).astype(bool)
+
+    def pack(x):
+        return np.ascontiguousarray(x.reshape((b * o_max,) + x.shape[2:])[sel])
+
+    obj_to_img = np.repeat(np.arange(b), counts)
+    t = torch.as_tensor
+    with torch.no_grad():
+        ref_out = ref(
+            t(imgs), t(pack(objs)), t(pack(boxes)),
+            t(pack(masks.transpose(0, 1, 4, 2, 3))), t(obj_to_img),
+            t(pack(z_rand)), t(pack(attrs)),
+            t(pack(masks_shift.transpose(0, 1, 4, 2, 3))), t(pack(boxes_shift)),
+            t(pack(attrs)),
+        )
+    (r_crops, r_crops_rec, r_crops_rand, r_crops_shift, r_img_rec, r_img_rand,
+     r_img_shift, r_mu, _r_logvar, r_z_rand_rec, r_z_rand_shift) = [
+        x.numpy() for x in ref_out
+    ]
+    post_sd = {k: v.numpy() for k, v in ref.state_dict().items()}
+
+    # ---- ours: dense-padded, train mode, mutable batch stats.
+    # The pre-forward weights must come from a state_dict captured BEFORE the
+    # train forward mutates running stats — rebuild an identical module.
+    torch.manual_seed(5)
+    ref0 = RefGenerator(
+        num_embeddings=13, obj_att_dim=64, z_dim=64, obj_size=32,
+        clstm_layers=3, attribute_dim=106,
+    )
+    with torch.no_grad():
+        for name, p in ref0.named_parameters():
+            if "fc_logvar" in name:
+                p.zero_() if name.endswith("weight") else p.fill_(-40.0)
+    sd = {k: v.numpy() for k, v in ref0.state_dict().items()}
+    params, stats = import_generator(sd, image_size=64, clstm_layers=3)
+    model = Generator(num_classes=13, image_size=64, object_size=32, clstm_layers=3)
+    batch = dict(
+        imgs=jnp.asarray(imgs.transpose(0, 2, 3, 1)),
+        objs=jnp.asarray(objs.astype(np.int32)),
+        boxes=jnp.asarray(boxes),
+        masks=jnp.asarray(masks),
+        valid=jnp.asarray(valid),
+        z_rand=jnp.asarray(z_rand),
+        attribute=jnp.asarray(attrs),
+        masks_shift=jnp.asarray(masks_shift),
+        boxes_shift=jnp.asarray(boxes_shift),
+        attribute_est=jnp.asarray(attrs),
+    )
+    out, mutated = model.apply(
+        {"params": params, "batch_stats": stats},
+        **batch,
+        train=True,
+        rngs={"reparam": jax.random.PRNGKey(11)},
+        mutable=["batch_stats"],
+    )
+
+    def check_img(name, ours, theirs, atol=2e-3):
+        np.testing.assert_allclose(
+            np.asarray(ours).transpose(0, 3, 1, 2), theirs, atol=atol, err_msg=name
+        )
+
+    def check_obj(name, ours, theirs, atol=2e-3, is_image=False):
+        ours = np.asarray(ours).reshape((b * o_max,) + np.asarray(ours).shape[2:])[sel]
+        if is_image:
+            ours = ours.transpose(0, 3, 1, 2)
+        np.testing.assert_allclose(ours, theirs, atol=atol, err_msg=name)
+
+    check_img("img_rec", out["img_rec"], r_img_rec)
+    check_img("img_rand", out["img_rand"], r_img_rand)
+    check_img("img_shift", out["img_shift"], r_img_shift)
+    check_obj("mu", out["mu"].reshape(b, o_max, -1), r_mu)
+    check_obj("z_rand_rec", out["z_rand_rec"].reshape(b, o_max, -1), r_z_rand_rec)
+    check_obj("z_rand_shift", out["z_rand_shift"].reshape(b, o_max, -1), r_z_rand_shift)
+    check_obj("crops_input", out["crops_input"], r_crops, is_image=True)
+    check_obj("crops_input_rec", out["crops_input_rec"], r_crops_rec, is_image=True)
+    check_obj("crops_rand", out["crops_rand"], r_crops_rand, is_image=True)
+    check_obj("crops_shift", out["crops_shift"], r_crops_shift, is_image=True)
+
+    # ---- updated running statistics must match the reference's
+    _, ref_post_stats = import_generator(post_sd, image_size=64, clstm_layers=3)
+    flat_ours = jax.tree_util.tree_flatten_with_path(mutated["batch_stats"])[0]
+    flat_ref = dict(
+        (jax.tree_util.keystr(p), v)
+        for p, v in jax.tree_util.tree_flatten_with_path(ref_post_stats)[0]
+    )
+    assert len(flat_ours) == len(flat_ref)
+    for path, ours_v in flat_ours:
+        key = jax.tree_util.keystr(path)
+        np.testing.assert_allclose(
+            np.asarray(ours_v), flat_ref[key], rtol=1e-3, atol=2e-4, err_msg=key
+        )
 
 
 def test_discriminators_parity_vs_reference(reference_generator):

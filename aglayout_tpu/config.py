@@ -48,6 +48,8 @@ class Config:
     data_axis: str = "data"
     num_devices: int = 0  # 0 = all visible
     bf16: bool = False  # bf16 compute (f32 params/BN accumulators)
+    # Pallas fused decoder RGB heads on the eval path; None = auto (TPU only)
+    pallas_heads: bool | None = None
 
     # logging / checkpointing (train64.py:449-454)
     resume: str = "l"  # 'l' latest / 's' scratch / explicit step

@@ -295,6 +295,10 @@ class Decoder(nn.Module):
 
     image_size: int = 64
     conv_dim: int = 64
+    # Pallas fused [SPADE -> relu -> few-out conv] RGB heads (TPU, eval
+    # path): see ops/pallas_spade_conv.py. Exact same math; enabled by
+    # Models() when the default backend is TPU.
+    pallas_heads: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -321,6 +325,30 @@ class Decoder(nn.Module):
                 3, 7, padding=3, use_bias=True, dtype=self.dtype, in_features=d * 2
             )
 
+    def _head(self, spade, conv, h, seg, ura: bool):
+        """[SPADE -> relu -> few-out conv] — fused Pallas kernel on the TPU
+        eval path (identical math), dense composition otherwise."""
+        f = h.shape[1] // seg.shape[1]
+        if (
+            self.pallas_heads
+            and ura
+            and f >= 5
+            and h.shape[1] == f * seg.shape[1]
+            and h.shape[2] == f * seg.shape[2]
+        ):
+            from aglayout_tpu.ops.pallas_spade_conv import spade_few_out_conv
+
+            a_tab, b_tab = spade.folded_affine_tables(seg, f)
+            return spade_few_out_conv(
+                h,
+                a_tab.astype(h.dtype),
+                b_tab.astype(h.dtype),
+                conv.kernel,
+                conv.bias,
+                f=f,
+            )
+        return conv(nn.relu(spade(h, seg, ura)))
+
     def __call__(self, hidden, global_h, train: bool):
         ura = not train
         seg = hidden  # (B, 8, 8, 64)
@@ -339,9 +367,7 @@ class Decoder(nn.Module):
         h = self.spade_2(h, seg, ura)
         h = nn.relu(h)
         h = self.dc3(h)
-        h = self.spade_3(h, seg, ura)
-        h = nn.relu(h)
-        h_64 = self.c4(h)
+        h_64 = self._head(self.spade_3, self.c4, h, seg, ura)
         if self.image_size == 64:
             return h_64
 
@@ -351,9 +377,7 @@ class Decoder(nn.Module):
         h = self.spade_4(h, seg, ura)
         h = nn.relu(h)
         h = self.c6(h)
-        h = self.spade_5(h, seg, ura)
-        h = nn.relu(h)
-        return self.c7(h)
+        return self._head(self.spade_5, self.c7, h, seg, ura)
 
 
 class Generator(nn.Module):
@@ -377,6 +401,8 @@ class Generator(nn.Module):
     # takes its exact fused rectangular-mask path in BOTH train and eval.
     # Set False when feeding hand-made non-rectangular masks.
     fused_layout: bool = True
+    # Pallas fused RGB heads on the TPU eval path (ops/pallas_spade_conv.py)
+    pallas_heads: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -391,7 +417,11 @@ class Generator(nn.Module):
             z_dim=self.z_dim,
             dtype=self.dtype,
         )
-        self.decoder = Decoder(image_size=self.image_size, dtype=self.dtype)
+        self.decoder = Decoder(
+            image_size=self.image_size,
+            pallas_heads=self.pallas_heads,
+            dtype=self.dtype,
+        )
         self.global_encoder = GlobalEncoder(dtype=self.dtype)
         self.attribute_encoder = AttributeEncoder(
             self.num_classes,

@@ -195,10 +195,13 @@ class SPADE(nn.Module):
             self.norm_features, 3, padding=1, dtype=self.dtype, in_features=self.nhidden
         )
 
-    def _gamma_beta_fused(self, segmap, f: int):
-        """Exact gamma/beta for an f-times nearest-upsampled seg, f >= 5.
+    def _block_class_grid(self, segmap):
+        """Exact (gamma ++ beta) values for an f-upsampled seg (f >= 5), by
+        (row class, col class): 5x5 nested list of (B, h, w, 2*norm) arrays.
 
-        Returns (gamma, beta) at full resolution (B, h*f, w*f, norm_features).
+        Classes per axis: 0: u%f==0, 1: u%f==1, 2: interior, 3: u%f==f-2,
+        4: u%f==f-1 (valid for any f >= 5 — the tap pattern of two stacked
+        3x3 convs on block-constant input depends only on these offsets).
         """
         b, h, w, _ = segmap.shape
         dtype = self.dtype or segmap.dtype
@@ -252,6 +255,45 @@ class SPADE(nn.Module):
                             "bhwc,co->bhwo", _shift2d(V[r][c], sy, sx), w2[dy, dx]
                         )
                 O2[s][t] = acc + b2  # (B, h, w, 2*norm)
+        return O2
+
+    def folded_affine_tables(self, segmap, f: int):
+        """Per-pixel affine (A, B) with SPADE_eval(x) == x * A + B, folded
+        with the parameter-free BN, as row-class-expanded tables for the
+        fused Pallas head (ops/pallas_spade_conv.py).
+
+        Returns (A, B) each (batch, h, 5, w*f, norm_features): indexed by
+        (row block, row class, full-res column, channel).
+        """
+        O2 = self._block_class_grid(segmap)
+        b, h, w, _ = segmap.shape
+        # (B, h, 5rc, 5cc, w, 2n)
+        X = jnp.stack([jnp.stack(row, 0) for row in O2], 0).transpose(2, 3, 0, 1, 4, 5)
+
+        def cls_of(u):
+            return 0 if u == 0 else 1 if u == 1 else 3 if u == f - 2 else 4 if u == f - 1 else 2
+
+        # Column expansion with STATIC slices only (a dynamic gather here
+        # lowers to a while-loop of dynamic-update-slices — measured 30 ms
+        # per batch): the per-block column pattern [cls(0..f-1)] is the same
+        # for every block, so stack f class-slices and fold into the w axis.
+        cols = jnp.stack(
+            [X[:, :, :, cls_of(u)] for u in range(f)], axis=4
+        )  # (B, h, 5rc, w, f, 2n)
+        T = cols.reshape(b, h, 5, w * f, cols.shape[-1])  # (B, h, 5rc, w*f, 2n)
+        gamma, beta = jnp.split(T, 2, axis=-1)
+        a0, b0 = self.param_free_norm.eval_affine()  # (C,) f32
+        a0 = a0.astype(gamma.dtype)
+        b0 = b0.astype(gamma.dtype)
+        return a0 * (1 + gamma), b0 * (1 + gamma) + beta
+
+    def _gamma_beta_fused(self, segmap, f: int):
+        """Exact gamma/beta for an f-times nearest-upsampled seg, f >= 5.
+
+        Returns (gamma, beta) at full resolution (B, h*f, w*f, norm_features).
+        """
+        b, h, w, _ = segmap.shape
+        O2 = self._block_class_grid(segmap)
 
         # ---- assemble full resolution: static tile placement (one write)
         def cls_of(u):

@@ -1,0 +1,177 @@
+"""Pallas TPU kernel: fused SPADE-apply + few-output-channel KxK conv.
+
+Serves the decoder's RGB heads (c4: 7x7 64->3, c7: 7x7 128->3 — reference
+models/generator_obj_att128.py:549-604), whose 3 output channels XLA
+implements as a giant VPU fusion (measured 35 ms of a 68 ms 128^2 serving
+batch). This kernel replaces [SPADE eval apply -> relu -> conv] with one
+pass:
+
+  1. prologue (VPU): y = relu(x * A + B) where A/B are the SPADE+BN folded
+     per-pixel affine coefficients. Because the SPADE segmap is an f-times
+     nearest-upsampled 8x8 layout feature, A/B take one of 5 row-classes x
+     5 col-classes per block (see models/norms.py SPADE fast path); they are
+     passed as compact row-class-expanded tables (B, HB, 5, W, C) and
+     indexed with static (block, class) offsets — the full-resolution
+     gamma/beta tensors (and their measured 13 ms of assembly copies) never
+     exist.
+  2. kn2row matmul (MXU): z[t*O+o, p] = sum_c W[t, o, c] * y[p, c] — one
+     (K*K*O, C) x (C, rows*W) contraction per row-chunk, taps in the MAJOR
+     dim so the reduction below runs at full lane width.
+  3. shifted-slice reduction (VPU): out[o, h*W+w] += z[t*O+o, (h+dy)*W+(w+dx)]
+     — because W equals the 128 lane width (or divides it), a spatial shift
+     is a static linear lane offset plus an iota%W edge mask.
+
+Exact in f32 (interpret-mode tests vs lax.conv composition); in bf16 the
+merged-channel intermediate takes one extra rounding, same as any bf16 conv.
+Serving/eval only (no custom VJP; the train step uses the dense path).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_GUARD = 8  # zero columns either side of the z scratch so tap slices never underflow
+
+
+def _row_class(u: int, f: int) -> int:
+    """SPADE block-row class of offset u in an f-pixel block (f >= 5)."""
+    return 0 if u == 0 else 1 if u == 1 else 3 if u == f - 2 else 4 if u == f - 1 else 2
+
+
+def _kernel(
+    x_ref,
+    a_ref,
+    b_ref,
+    w_ref,
+    bias_ref,
+    out_ref,
+    y_ref,
+    zt_ref,
+    *,
+    H: int,
+    W: int,
+    C: int,
+    K: int,
+    O: int,
+    f: int,
+    chunk: int,
+):
+    r = K // 2
+    rows = chunk + 2 * r
+    n_chunk = H // chunk
+    kko = K * K * O
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (O, chunk * W), 1) % W
+    bias = bias_ref[0].astype(jnp.float32).reshape(O, 1)
+
+    for c in range(n_chunk):
+        # ---- 1. SPADE-applied input rows [c*chunk - r, c*chunk + chunk + r)
+        for j in range(rows):
+            g = c * chunk + j - r
+            if g < 0 or g >= H:
+                y_ref[j] = jnp.zeros((W, C), y_ref.dtype)
+            else:
+                blk, u = divmod(g, f)
+                cls = _row_class(u, f)
+                xa = x_ref[0, g].astype(jnp.float32)
+                av = a_ref[0, blk, cls].astype(jnp.float32)
+                bv = b_ref[0, blk, cls].astype(jnp.float32)
+                y_ref[j] = jnp.maximum(xa * av + bv, 0.0).astype(y_ref.dtype)
+
+        # ---- 2. kn2row matmul, taps-major: (K*K*O, rows*W)
+        rhs = y_ref[...].reshape(rows * W, C)
+        z = jax.lax.dot_general(
+            w_ref[...],
+            rhs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (K*K*O, rows*W)
+        zt_ref[:, _GUARD : _GUARD + rows * W] = z.astype(zt_ref.dtype)
+
+        # ---- 3. shifted-slice reduction into (O, chunk*W)
+        acc = jnp.broadcast_to(bias, (O, chunk * W)).astype(jnp.float32)
+        for dy in range(K):
+            for dx in range(K):
+                t = dy * K + dx
+                sx = dx - r
+                base = _GUARD + dy * W + sx
+                seg = zt_ref[t * O : (t + 1) * O, base : base + chunk * W].astype(
+                    jnp.float32
+                )
+                if sx > 0:
+                    seg = jnp.where(lane < (W - sx), seg, 0.0)
+                elif sx < 0:
+                    seg = jnp.where(lane >= (-sx), seg, 0.0)
+                acc = acc + seg
+        out_ref[0, :, c * chunk * W : (c + 1) * chunk * W] = acc.astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("f", "interpret", "chunk")
+)
+def spade_few_out_conv(
+    x, a_tab, b_tab, kernel, bias=None, *, f: int, interpret: bool = False, chunk: int = 32
+):
+    """relu(x * A + B) convolved with a small-output-channel KxK kernel.
+
+    x:     (B, H, W, C) pre-normalization features (the preceding conv's
+           output), NHWC.
+    a_tab: (B, H//f, 5, W, C) folded SPADE multiplier by (row block,
+           row class, column); see `SPADE.folded_affine_tables`.
+    b_tab: (B, H//f, 5, W, C) folded SPADE offset.
+    kernel: (K, K, C, O) with O small (<= 8); bias: (O,) or None.
+    f: the segmap upsample factor (>= 5) defining the 5 row classes.
+
+    Returns (B, H, W, O) in x.dtype.
+    """
+    bsz, H, W, C = x.shape
+    K = kernel.shape[0]
+    O = kernel.shape[3]
+    assert kernel.shape[1] == K and kernel.shape[2] == C
+    assert O <= 8 and K % 2 == 1
+    assert H % f == 0 and a_tab.shape == (bsz, H // f, 5, W, C)
+    assert 128 % W == 0 or W % 128 == 0, "W must divide into or be a multiple of lanes"
+    chunk = min(chunk, H)
+    assert H % chunk == 0
+    r = K // 2
+
+    # (K*K*O, C) taps-major flat kernel
+    w_flat = (
+        kernel.reshape(K * K, C, O).transpose(0, 2, 1).reshape(K * K * O, C).astype(x.dtype)
+    )
+    bias = jnp.zeros((O,), jnp.float32) if bias is None else bias.astype(jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, H=H, W=W, C=C, K=K, O=O, f=f, chunk=chunk
+        ),
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec((1, H, W, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, H // f, 5, W, C), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, H // f, 5, W, C), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, O, H * W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, O, H * W), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((chunk + 2 * r, W, C), x.dtype),
+            pltpu.VMEM((K * K * O, _GUARD + (chunk + 2 * r) * W + _GUARD), x.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x, a_tab, b_tab, w_flat, bias.reshape(1, O))
+    # (B, O, H*W) -> (B, H, W, O)
+    return out.reshape(bsz, O, H, W).transpose(0, 2, 3, 1)

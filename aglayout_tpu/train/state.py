@@ -54,6 +54,11 @@ class Models:
             object_size=cfg.object_size,
             clstm_layers=cfg.clstm_layers,
             resi_num=cfg.resi_num,
+            pallas_heads=(
+                cfg.pallas_heads
+                if cfg.pallas_heads is not None
+                else jax.default_backend() == "tpu"
+            ),
             dtype=dtype,
         )
         self.d_image = ImageDiscriminator(conv_dim=cfg.embedding_dim, dtype=dtype)

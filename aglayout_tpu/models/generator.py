@@ -142,7 +142,10 @@ class LayoutEncoder(nn.Module):
         self.bn2 = ConditionalBatchNorm(d * 2, self.num_classes, dtype=self.dtype)
         self.c3 = Conv2d(d * 4, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype)
         self.bn3 = ConditionalBatchNorm(d * 4, self.num_classes, dtype=self.dtype)
-        self.c4 = Conv2d(d * 8, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype)
+        self.c4 = Conv2d(
+            d * 8, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype,
+            in_features=d * 4,
+        )
         self.bn4 = ConditionalBatchNorm(d * 8, self.num_classes, dtype=self.dtype)
         self.clstm = LayoutFuser(self.clstm_dims, dtype=self.dtype)
         self.residuals = [
@@ -251,11 +254,31 @@ class LayoutEncoder(nn.Module):
         h = self.c3(h)
         h = self.bn3(h, objs_f, mask_f, ura)
         h = nn.relu(h)
-        h = self.c4(h)
-        h = self.bn4(h, objs_f, mask_f, ura)  # no relu (reference :504-509)
-
-        if self.image_size == 128:
-            h = adaptive_avg_pool(h, 8)  # (N,16,16,512) -> (N,8,8,512)
+        if ura and self.image_size == 128:
+            # Exact fold of [c4 (k4 s2 p1) -> eval-affine bn4 -> avgpool 2x2]
+            # into one k6 s4 p1 conv with the 2x2-shift-averaged kernel (the
+            # pool commutes with bn4's affine): 1.78x fewer tap-positions
+            # than conv-then-pool. Train mode keeps the dense path (bn4
+            # batch stats are taken over the pre-pool 16^2 map).
+            k4 = self.c4.kernel
+            k6 = jnp.zeros((6, 6) + k4.shape[2:], k4.dtype)
+            for u in (0, 1):
+                for v in (0, 1):
+                    k6 = k6.at[2 * u : 2 * u + 4, 2 * v : 2 * v + 4].add(k4)
+            k6 = (0.25 * k6).astype(h.dtype)
+            h = jax.lax.conv_general_dilated(
+                h, k6, (4, 4), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            a4, b4 = self.bn4.eval_affine(objs_f)
+            h = h * a4[:, None, None, :].astype(h.dtype) + b4[
+                :, None, None, :
+            ].astype(h.dtype)
+        else:
+            h = self.c4(h)
+            h = self.bn4(h, objs_f, mask_f, ura)  # no relu (reference :504-509)
+            if self.image_size == 128:
+                h = adaptive_avg_pool(h, 8)  # (N,16,16,512) -> (N,8,8,512)
 
         h = h.reshape(b, o, 8, 8, d * 8)
         h = self.clstm(h, valid)  # (B, 8, 8, 64)

@@ -127,6 +127,9 @@ class LayoutEncoder(nn.Module):
     resi_num: int = 6
     clstm_dims: Tuple[int, ...] = (128, 64, 64)
     z_dim: int = 64
+    # Pallas kernel for the typed-c3 back half (TPU serving; see
+    # ops/pallas_typed_expand.py)
+    pallas_typed: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -140,7 +143,10 @@ class LayoutEncoder(nn.Module):
             d * 2, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype, in_features=d
         )
         self.bn2 = ConditionalBatchNorm(d * 2, self.num_classes, dtype=self.dtype)
-        self.c3 = Conv2d(d * 4, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype)
+        self.c3 = Conv2d(
+            d * 4, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype,
+            in_features=d * 2,
+        )
         self.bn3 = ConditionalBatchNorm(d * 4, self.num_classes, dtype=self.dtype)
         self.c4 = Conv2d(
             d * 8, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype,
@@ -228,6 +234,182 @@ class LayoutEncoder(nn.Module):
             out = out + cc[:, :, None, :, dx, None] * tp[:, :, :, None, dx, :]
         return out.reshape(b * o, out_size, out_size, 2 * d)
 
+    def _typed_c2c3_eval(self, vec, boxes, objs):
+        """Exact eval-mode [broadcast -> c0 -> bn1 -> relu -> c2 -> bn2 ->
+        relu -> c3] via row/column type algebra — the (B*O, S2, S2, 2d)
+        per-object c2 map is never materialized.
+
+        The c0 output plane is a two-constant rectangle (see _fused_stage1),
+        so every row of the c2 output matches one of <= 12 patterns (generic
+        outside, <=2-row bands where the 4-tap stride-2 window crosses a box
+        edge, interior, and the image-border rows clipped by `inb`), and
+        likewise for columns: the full map is V2[row_type[y], col_type[x], c].
+        c3 is computed on the 12x12 type grid, its 4-row output windows are
+        typed again (14 window types on the S3 grid), and only the final
+        (B*O, S3, S3, 4d) c3 output is expanded densely. All index maps are
+        built per object from the box's integer edge coordinates; pattern ->
+        candidate matching is by window-code equality, so duplicate or
+        clipped candidates are harmless.
+
+        Returns the raw c3 output (B*O, S3, S3, 4d); callers apply bn3/relu.
+        """
+        b, o, _ = vec.shape
+        d = self.conv_dim
+        size = self.image_size
+        in_size = size + 2
+        s2 = (in_size - 2) // 2 + 1
+        s3 = (s2 - 2) // 2 + 1
+        dtype = self.dtype or vec.dtype
+
+        # ---- stage-1 constants (same algebra as _fused_stage1 eval)
+        w0 = self.c0.kernel[0, 0].astype(dtype)
+        wv = jnp.einsum("bod,dk->bok", vec.astype(dtype), w0)
+        a1, b1 = self.bn1.eval_affine(objs.reshape(-1))
+        a1 = a1.reshape(b, o, d).astype(dtype)
+        b1 = b1.reshape(b, o, d).astype(dtype)
+        p = nn.relu(a1 * wv + b1)
+        q = nn.relu(b1)
+        w2 = self.c2.kernel.astype(dtype)  # (4, 4, d, 2d)
+        kq = jnp.einsum("hwdc,bod->bohwc", w2, q)
+        kp = jnp.einsum("hwdc,bod->bohwc", w2, p - q)
+
+        # ---- tap windows on the padded grid (identical to _fused_stage1)
+        taps = 2 * jnp.arange(s2)[:, None] + jnp.arange(4)[None, :] - 1
+        inb = (taps >= 0) & (taps < in_size)  # (s2, 4)
+
+        def rect_win(lo, hi):
+            t0 = jnp.round(lo * size)[..., None, None]
+            t1 = jnp.round(hi * size)[..., None, None]
+            tt = taps[None, None].astype(jnp.float32) - 1.0
+            return (tt >= t0) & (tt < t1)  # (B, O, s2, 4)
+
+        pow2 = jnp.asarray([1, 2, 4, 8], jnp.int32)
+        inbcode = jnp.sum(inb * pow2, -1)  # (s2,)
+
+        def typing(rwin, lo, hi):
+            """Type one axis: 12 candidate rows covering every realized
+            (inb, rect-window) pattern, plus the row -> candidate map."""
+            code = jnp.sum(rwin * pow2, -1) + 16 * inbcode  # (B, O, s2)
+            yt = jnp.floor((jnp.round(lo * size) - 1.0) / 2.0)
+            yb = jnp.floor((jnp.round(hi * size) - 1.0) / 2.0)
+            ones = jnp.ones_like(yt)
+            cand = jnp.stack(
+                [0 * ones, ones, yt - 1, yt, yt + 1, yt + 2,
+                 yb - 1, yb, yb + 1, yb + 2, (s2 - 2) * ones, (s2 - 1) * ones],
+                -1,
+            )
+            cand = jnp.clip(cand, 0, s2 - 1).astype(jnp.int32)  # (B, O, 12)
+            candcode = jnp.take_along_axis(code, cand, axis=2)
+            eq = code[..., :, None] == candcode[..., None, :]
+            sel = jnp.argmax(eq, axis=-1).astype(jnp.int32)  # (B, O, s2)
+            rwinK = jnp.take_along_axis(
+                rwin, cand[..., None], axis=2
+            )  # (B, O, 12, 4)
+            inbK = inb[cand]  # (B, O, 12, 4)
+            return sel, rwinK, inbK
+
+        rr = rect_win(boxes[..., 1], boxes[..., 3])
+        cc = rect_win(boxes[..., 0], boxes[..., 2])
+        selR, rrK, inbKR = typing(rr, boxes[..., 1], boxes[..., 3])
+        selC, ccK, inbKC = typing(cc, boxes[..., 0], boxes[..., 2])
+
+        # ---- c2 values on the 12x12 type grid, bn2-affine + relu
+        V2 = jnp.einsum(
+            "bokh,bolw,bohwc->boklc", inbKR.astype(dtype), inbKC.astype(dtype), kq
+        ) + jnp.einsum(
+            "bokh,bolw,bohwc->boklc", rrK.astype(dtype), ccK.astype(dtype), kp
+        )  # (B, O, 12, 12, 2d)
+        a2, b2 = self.bn2.eval_affine(objs.reshape(-1))
+        a2 = a2.reshape(b, o, 1, 1, -1).astype(dtype)
+        b2 = b2.reshape(b, o, 1, 1, -1).astype(dtype)
+        z2 = nn.relu(a2 * V2 + b2)
+
+        # ---- type the c3 output windows (4 input rows, stride 2, pad 1)
+        def out_typing(sel, lo, hi):
+            src = 2 * jnp.arange(s3)[:, None] + jnp.arange(4)[None, :] - 1  # (s3,4)
+            selpad = jnp.pad(sel + 1, ((0, 0), (0, 0), (1, 1)))  # 0 = OOB
+            win = selpad[:, :, jnp.clip(src + 1, 0, s2 + 1)]  # (B,O,s3,4) in 0..12
+            code = jnp.sum(win * jnp.asarray([1, 13, 169, 2197])[None, None, None], -1)
+            yt = jnp.floor((jnp.floor((jnp.round(lo * size) - 1.0) / 2.0) - 1.0) / 2.0)
+            yb = jnp.floor((jnp.floor((jnp.round(hi * size) - 1.0) / 2.0) - 1.0) / 2.0)
+            ones = jnp.ones_like(yt)
+            cand = jnp.stack(
+                [0 * ones, ones, yt - 1, yt, yt + 1, yt + 2, yt + 3,
+                 yb - 1, yb, yb + 1, yb + 2, yb + 3, (s3 - 2) * ones, (s3 - 1) * ones],
+                -1,
+            )
+            cand = jnp.clip(cand, 0, s3 - 1).astype(jnp.int32)  # (B, O, 14)
+            candcode = jnp.take_along_axis(code, cand, axis=2)
+            eq = code[..., :, None] == candcode[..., None, :]
+            sel3 = jnp.argmax(eq, axis=-1).astype(jnp.int32)  # (B, O, s3)
+            winK = jnp.take_along_axis(
+                win, cand[..., None], axis=2
+            )  # (B, O, 14, 4) in 0..12 (0 = OOB)
+            return sel3, winK
+
+        sel3R, winKR = out_typing(selR, boxes[..., 1], boxes[..., 3])
+        sel3C, winKC = out_typing(selC, boxes[..., 0], boxes[..., 2])
+
+        # ---- c3 on the type grid: V3[a, b, C]
+        # z2 padded with a zero row/col at index 12 for OOB taps
+        z2p = jnp.pad(z2, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
+        idxR = jnp.where(winKR > 0, winKR - 1, 12)  # (B, O, 14, 4)
+        w3 = self.c3.kernel.astype(dtype)  # (4, 4, 2d, 4d)
+        n = b * o
+        c2d, c4d = 2 * d, 4 * d
+        w3t = w3.transpose(0, 2, 1, 3).reshape(4 * c2d, 4 * c4d)  # ((h,c),(w,C))
+        a3, b3 = self.bn3.eval_affine(objs.reshape(-1))  # (n, 4d) f32
+
+        if self.pallas_typed:
+            # ---- Pallas back half: gather + c3-on-types + bn3/relu +
+            # expansion per object in VMEM (the XLA einsum forms lower to
+            # batched-convolution fusions + layout copies, measured ~10 ms
+            # at b=128, O=10 — as much as the dense c3 they replace)
+            from aglayout_tpu.ops.pallas_typed_expand import typed_c3_expand
+
+            hc = (
+                jax.nn.one_hot(jnp.where(winKC > 0, winKC - 1, 13), 13, dtype=dtype)
+                .reshape(n, 14, 4, 13)
+                .transpose(0, 1, 3, 2)
+                .reshape(n, 14, 13 * 4)  # (n, g, (l, w))
+            )
+            er = jax.nn.one_hot(sel3R, 14, dtype=dtype).reshape(n, s3, 14)
+            ec = jax.nn.one_hot(sel3C, 14, dtype=dtype).reshape(n, s3, 14)
+            ab = jnp.stack([a3, b3], axis=1).astype(jnp.float32)  # (n, 2, 4d)
+            return typed_c3_expand(
+                z2p.reshape(n, 13, 13, c2d).astype(dtype),
+                idxR.reshape(n, 14, 4).astype(jnp.int32),
+                hc, er, ec, ab, w3t.astype(dtype),
+            )
+
+        # ---- XLA fallback (CPU tests): same math as einsums/matmuls
+        # row-gather: Z1[o, a, h, l, c] = z2p[idxR[a, h], l, c]
+        Z1 = jnp.take_along_axis(
+            z2p[:, :, :, None],  # (B, O, 13, 1, 13, 2d)
+            idxR.reshape(b, o, 14 * 4, 1, 1, 1),
+            axis=2,
+        ).reshape(b, o, 14, 4, 13, 2 * d)
+        z1t = Z1.transpose(0, 1, 2, 4, 3, 5).reshape(n * 14 * 13, 4 * c2d)
+        W3z = jnp.dot(z1t, w3t).reshape(n, 14, 13, 4, c4d)  # (n, a, l, w, C)
+        HC = jax.nn.one_hot(
+            jnp.where(winKC > 0, winKC - 1, 13), 13, dtype=dtype
+        ).reshape(n, 14, 4, 13)  # (n, g, w, l); OOB -> all-zero
+        hc = HC.transpose(0, 1, 3, 2).reshape(n, 14, 13 * 4)  # (n, g, (l, w))
+        w3z = W3z.transpose(0, 2, 3, 1, 4).reshape(n, 13 * 4, 14 * c4d)
+        V3 = jax.lax.dot_general(
+            hc, w3z, (((2,), (1,)), ((0,), (0,)))
+        )  # (n, g, (a, C))
+        V3 = nn.relu(
+            V3.reshape(n, 14, 14, c4d) * a3[:, None, None, :].astype(dtype)
+            + b3[:, None, None, :].astype(dtype)
+        )
+        v3g = V3.reshape(b, o, 14, 14, c4d)  # (b, o, g, a, C)
+        ER = jax.nn.one_hot(sel3R, 14, dtype=dtype)  # (B, O, s3, 14)
+        EC = jax.nn.one_hot(sel3C, 14, dtype=dtype)
+        T = jnp.einsum("boxg,bogaC->boxaC", EC, v3g)
+        out3 = jnp.einsum("boya,boxaC->boyxC", ER, T)
+        return out3.reshape(n, s3, s3, c4d)
+
     def __call__(self, objs_att, masks, valid, z, objs, train: bool, boxes=None):
         # objs_att: (B, O, 64); masks: (B, O, H, W, 1) or None (serving fast
         # path with `boxes` given); z: (B, O, z_dim); objs/valid: (B, O)
@@ -239,21 +421,26 @@ class LayoutEncoder(nn.Module):
 
         vec = jnp.concatenate([objs_att, z.astype(objs_att.dtype)], axis=-1)
 
-        if masks is None and boxes is not None:
-            h = self._fused_stage1(vec, boxes, objs, valid, train)
+        if masks is None and boxes is not None and ura:
+            # eval serving: exact type-algebra stage-1..c3 (never builds the
+            # per-object S2^2 map); includes bn3 + relu
+            h = self._typed_c2c3_eval(vec, boxes, objs)
         else:
-            hgt, wdt = masks.shape[2], masks.shape[3]
-            h = vec[:, :, None, None, :] * masks.astype(vec.dtype)  # (B,O,H,W,C)
-            h = h.reshape(b * o, hgt, wdt, vec.shape[-1])
-            h = self.c0(h)
-            h = self.bn1(h, objs_f, mask_f, ura)
+            if masks is None and boxes is not None:
+                h = self._fused_stage1(vec, boxes, objs, valid, train)
+            else:
+                hgt, wdt = masks.shape[2], masks.shape[3]
+                h = vec[:, :, None, None, :] * masks.astype(vec.dtype)  # (B,O,H,W,C)
+                h = h.reshape(b * o, hgt, wdt, vec.shape[-1])
+                h = self.c0(h)
+                h = self.bn1(h, objs_f, mask_f, ura)
+                h = nn.relu(h)
+                h = self.c2(h)
+            h = self.bn2(h, objs_f, mask_f, ura)
             h = nn.relu(h)
-            h = self.c2(h)
-        h = self.bn2(h, objs_f, mask_f, ura)
-        h = nn.relu(h)
-        h = self.c3(h)
-        h = self.bn3(h, objs_f, mask_f, ura)
-        h = nn.relu(h)
+            h = self.c3(h)
+            h = self.bn3(h, objs_f, mask_f, ura)
+            h = nn.relu(h)
         if ura and self.image_size == 128:
             # Exact fold of [c4 (k4 s2 p1) -> eval-affine bn4 -> avgpool 2x2]
             # into one k6 s4 p1 conv with the 2x2-shift-averaged kernel (the
@@ -438,6 +625,7 @@ class Generator(nn.Module):
             resi_num=self.resi_num,
             clstm_dims=clstm_hidden_dims(self.clstm_layers),
             z_dim=self.z_dim,
+            pallas_typed=self.pallas_heads,
             dtype=self.dtype,
         )
         self.decoder = Decoder(

@@ -102,10 +102,16 @@ def make_extractor(kind: str = "pixel", weights: str | None = None):
     if kind == "pixel":
         return PixelProjectionExtractor()
     if kind == "inception":
-        raise NotImplementedError(
-            "Inception weights are not available in this zero-egress environment; "
-            "provide a pool3 feature dump or use kind='pixel' for relative tracking."
-        )
+        from aglayout_tpu.eval.inception import InceptionExtractor
+
+        if not weights:
+            raise ValueError(
+                "kind='inception' needs --weights pointing at a torchvision "
+                "inception_v3 or pytorch-fid pt_inception .pth state_dict "
+                "(the network is implemented in eval/inception.py; this "
+                "zero-egress image cannot ship the pretrained file itself)."
+            )
+        return InceptionExtractor(weights)
     raise ValueError(kind)
 
 
@@ -125,8 +131,9 @@ def main():
     p.add_argument("path2")
     p.add_argument("--image_size", type=int, default=64)
     p.add_argument("--extractor", default="pixel", choices=["pixel", "inception"])
+    p.add_argument("--weights", default=None, help="torch .pth for --extractor inception")
     args = p.parse_args()
-    ext = make_extractor(args.extractor)
+    ext = make_extractor(args.extractor, args.weights)
     fid = calculate_fid_given_paths(args.path1, args.path2, args.image_size, ext)
     print(json.dumps({"fid": fid, "extractor": ext.name}))
 

@@ -31,12 +31,36 @@ def inception_score_from_probs(probs: np.ndarray, splits: int = 3):
     return float(np.mean(scores)), float(np.std(scores))
 
 
+def inception_score_from_dir(
+    image_dir: str, weights: str, image_size: int = 299, splits: int = 3
+):
+    """Published-comparable IS: softmax of the flax InceptionV3 logits
+    (eval/inception.py) over a directory of images; needs a torch .pth
+    weights file (reference protocol: compute_inception_score.py:111-148)."""
+    from aglayout_tpu.eval.fid import load_images
+    from aglayout_tpu.eval.inception import InceptionExtractor
+
+    ext = InceptionExtractor(weights)
+    imgs = load_images(image_dir, image_size)
+    logits = ext.logits(imgs)
+    e = np.exp(logits - logits.max(axis=1, keepdims=True))
+    probs = e / e.sum(axis=1, keepdims=True)
+    return inception_score_from_probs(probs, splits)
+
+
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("probs_npy", help=".npy of (N, C) class probabilities")
+    p.add_argument("probs_npy", help=".npy of (N, C) class probabilities, OR an image directory when --weights is given")
     p.add_argument("--splits", type=int, default=3)
+    p.add_argument("--weights", default=None, help="InceptionV3 torch .pth -> published-comparable IS over an image dir")
+    p.add_argument("--image_size", type=int, default=299)
     args = p.parse_args()
-    mean, std = inception_score_from_probs(np.load(args.probs_npy), args.splits)
+    if args.weights:
+        mean, std = inception_score_from_dir(
+            args.probs_npy, args.weights, args.image_size, args.splits
+        )
+    else:
+        mean, std = inception_score_from_probs(np.load(args.probs_npy), args.splits)
     print(json.dumps({"inception_score_mean": mean, "inception_score_std": std}))
 
 

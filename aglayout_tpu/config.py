@@ -50,6 +50,11 @@ class Config:
     bf16: bool = False  # bf16 compute (f32 params/BN accumulators)
     # Pallas fused decoder RGB heads on the eval path; None = auto (TPU only)
     pallas_heads: bool | None = None
+    # accept uniform attribute-swap sampling when matrix_obj_vs_att.npy is
+    # missing (otherwise training refuses to start; see train/loop.py)
+    allow_uniform_matrix: bool = False
+    # rematerialize the generator forward in the G phase (larger batches)
+    remat: bool = False
 
     # logging / checkpointing (train64.py:449-454)
     resume: str = "l"  # 'l' latest / 's' scratch / explicit step

@@ -521,8 +521,8 @@ class Decoder(nn.Module):
         self.spade_2 = SPADE(d * 2, dtype=self.dtype)
         self.dc3 = ConvTranspose2d(d, 4, 2, 1, use_bias=False, dtype=self.dtype)
         self.spade_3 = SPADE(d, dtype=self.dtype)
-        # c4/c5/c7 kernels declared with in_features so the MXU-efficient
-        # fastconv rewrites (exact) can read them directly
+        # c4/c5/c7 kernels declared with in_features so the fused Pallas
+        # heads (ops/pallas_spade_conv.py) can read them directly
         self.c4 = Conv2d(3, 7, padding=3, use_bias=True, dtype=self.dtype, in_features=d)
         if self.image_size == 128:
             self.c5 = Conv2d(

@@ -35,11 +35,28 @@ def prepare_dirs(cfg: Config):
 
 def load_cooccurrence(cfg: Config):
     """Object<->attribute co-occurrence counts (matrix_obj_vs_att.pt
-    equivalent; built by aglayout_tpu.eval.cooccurrence)."""
+    equivalent; built by aglayout_tpu.data.cooccurrence)."""
     path = os.path.join(cfg.vg_dir, "matrix_obj_vs_att.npy")
     if os.path.exists(path):
         return np.load(path)
-    # fall back to uniform weights: swap sampling degrades gracefully
+    # A missing matrix changes training semantics (attribute swaps sample
+    # uniformly instead of from co-occurrence statistics) — refuse unless
+    # explicitly allowed rather than degrade silently.
+    if not cfg.allow_uniform_matrix:
+        raise FileNotFoundError(
+            f"co-occurrence matrix not found at {path}. Build it with "
+            "`python -m aglayout_tpu.data.cooccurrence` over the train h5, "
+            "or pass --allow_uniform_matrix true to accept uniform "
+            "attribute-swap sampling (changes training semantics)."
+        )
+    import warnings
+
+    warnings.warn(
+        f"co-occurrence matrix missing at {path}: attribute swaps will "
+        "sample UNIFORMLY (allow_uniform_matrix=true). Not equivalent to "
+        "the reference's matrix_obj_vs_att.pt sampling.",
+        stacklevel=2,
+    )
     return np.ones((cfg.num_classes, cfg.attribute_dim), np.float32)
 
 

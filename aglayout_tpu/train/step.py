@@ -62,7 +62,7 @@ def make_train_step(cfg: Config, models: Models, matrix, pos_weight):
         models.d_att,
     )
 
-    def g_forward(params, stats, batch, z, attribute, attribute_est, rng):
+    def _g_forward(params, stats, batch, z, attribute, attribute_est, rng):
         out, mut = g_mod.apply(
             {"params": params, "batch_stats": stats},
             batch["imgs"],
@@ -80,6 +80,11 @@ def make_train_step(cfg: Config, models: Models, matrix, pos_weight):
             mutable=["batch_stats"],
         )
         return out, mut["batch_stats"]
+
+    # cfg.remat: rematerialize the generator forward on the backward pass —
+    # trades ~30% more FLOPs for not keeping the three decoder branches'
+    # activations live, enabling larger per-chip batches at 128^2
+    g_forward = jax.checkpoint(_g_forward) if getattr(cfg, "remat", False) else _g_forward
 
     def d_apply(mod, net: NetState, x, update: bool):
         if update:

@@ -29,6 +29,7 @@ def main():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
     p.add_argument("--train_step", action="store_true", help="bench the GAN train step instead")
+    p.add_argument("--remat", action="store_true", help="rematerialized G forward (train bench)")
     args = p.parse_args()
 
     import jax
@@ -43,6 +44,7 @@ def main():
         batch_size=args.batch_size,
         max_objects=args.max_objects,
         bf16=not args.f32,
+        remat=args.remat,
     )
     models = Models(cfg)
     state = create_train_state(cfg, models, jax.random.PRNGKey(0))

@@ -1,0 +1,157 @@
+"""Training-dynamics evidence: overfit a finite synthetic-scene corpus.
+
+Runs N real GAN train steps (the jitted production step, reference config:
+b=8, 64^2, Adam 2e-4) on a fixed set of layout-rendered scenes
+(data/synthetic.py synthetic_scene_batch — images ARE a function of the
+layout, so the losses have learnable signal), then commits the evidence:
+
+  artifacts/train_evidence/metrics.jsonl   per-log-step loss values
+  artifacts/train_evidence/loss_curves.png D/G losses + reconstruction L1
+  artifacts/train_evidence/samples.png     real | rec | rand grid
+  artifacts/train_evidence/summary.json    first/last windows, checks
+
+Usage: python tools/train_evidence.py [--steps 3000] [--image_size 64]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+TOOLS = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.dirname(TOOLS))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=3000)
+    p.add_argument("--image_size", type=int, default=64)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--corpus_batches", type=int, default=32)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--out", default=os.path.join(os.path.dirname(TOOLS), "artifacts", "train_evidence"))
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from aglayout_tpu.config import config_for
+    from aglayout_tpu.data.synthetic import synthetic_cooccurrence, synthetic_scene_batch
+    from aglayout_tpu.data.vocab import attribute_pos_weight
+    from aglayout_tpu.models.generator import Generator
+    from aglayout_tpu.ops.image import imagenet_deprocess_batch
+    from aglayout_tpu.train.state import Models, create_train_state
+    from aglayout_tpu.train.step import make_train_step
+
+    cfg = config_for(args.image_size, batch_size=args.batch_size)
+    models = Models(cfg)
+    state = create_train_state(cfg, models, jax.random.PRNGKey(cfg.seed))
+
+    rng = np.random.RandomState(7)
+    corpus = [
+        {k: jnp.asarray(v) for k, v in synthetic_scene_batch(
+            rng, cfg.batch_size, cfg.max_objects, cfg.image_size, cfg.num_classes
+        ).items()}
+        for _ in range(args.corpus_batches)
+    ]
+    matrix = synthetic_cooccurrence(rng, cfg.num_classes, cfg.attribute_dim)
+    step = jax.jit(make_train_step(cfg, models, matrix, attribute_pos_weight()), donate_argnums=0)
+
+    os.makedirs(args.out, exist_ok=True)
+    hist = []
+    t0 = time.time()
+    with open(os.path.join(args.out, "metrics.jsonl"), "w") as f:
+        for i in range(args.steps):
+            state, metrics = step(state, corpus[i % len(corpus)])
+            if (i + 1) % args.log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["step"] = i + 1
+                hist.append(m)
+                f.write(json.dumps(m) + "\n")
+                f.flush()
+            if (i + 1) % 500 == 0:
+                print(
+                    f"step {i+1}/{args.steps}  G={hist[-1]['G/loss']:.3f} "
+                    f"D={hist[-1]['D/loss']:.3f} rec={hist[-1]['G/rec_img']:.4f} "
+                    f"({(i+1)/(time.time()-t0):.1f} steps/s)",
+                    flush=True,
+                )
+
+    # ---- loss curves
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    steps = [m["step"] for m in hist]
+    fig, axes = plt.subplots(1, 3, figsize=(15, 4))
+    for ax, keys, title in zip(
+        axes,
+        [["D/loss", "G/loss"], ["G/rec_img"], ["G/rec_z", "G/kl"]],
+        ["adversarial losses", "image reconstruction L1", "latent losses"],
+    ):
+        for k in keys:
+            ax.plot(steps, [m[k] for m in hist], label=k, linewidth=0.9)
+        ax.set_title(title)
+        ax.set_xlabel("step")
+        ax.legend()
+        ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.out, "loss_curves.png"), dpi=110)
+
+    # ---- sample grid: real | rec | rand
+    batch = corpus[0]
+    variables = {"params": state.g.params, "batch_stats": state.g.stats}
+    gen_rng = jax.random.PRNGKey(123)
+    z = jax.random.normal(gen_rng, (cfg.batch_size, cfg.max_objects, cfg.z_dim))
+    out = models.generator.apply(
+        variables,
+        batch["imgs"], batch["objs"], batch["boxes"], batch["masks"], batch["valid"],
+        z, batch["attribute"], batch["masks_shift"], batch["boxes_shift"],
+        batch["attribute"], False,
+        rngs={"reparam": gen_rng},
+    )
+    # imagenet_deprocess_batch returns uint8 in [0, 255]
+    real = np.asarray(imagenet_deprocess_batch(batch["imgs"]))
+    rec = np.asarray(imagenet_deprocess_batch(out["img_rec"]))
+    rand = np.asarray(imagenet_deprocess_batch(out["img_rand"]))
+    n = min(8, cfg.batch_size)
+    s = cfg.image_size
+    grid = np.zeros((3 * s, n * s, 3), np.uint8)
+    for j in range(n):
+        grid[0:s, j * s : (j + 1) * s] = real[j]
+        grid[s : 2 * s, j * s : (j + 1) * s] = rec[j]
+        grid[2 * s :, j * s : (j + 1) * s] = rand[j]
+    from PIL import Image
+
+    Image.fromarray(grid).save(os.path.join(args.out, "samples.png"))
+
+    # ---- summary + assertions. First window = the first ~30 steps of
+    # logs (before the fast initial descent), last = final 10%.
+    k = max(1, len(hist) // 10)
+    first = float(np.mean([m["G/rec_img"] for m in hist[:3]]))
+    last = float(np.mean([m["G/rec_img"] for m in hist[-k:]]))
+    summary = {
+        "steps": args.steps,
+        "image_size": cfg.image_size,
+        "batch_size": cfg.batch_size,
+        "corpus_batches": args.corpus_batches,
+        "rec_l1_first_window": first,
+        "rec_l1_last_window": last,
+        "rec_l1_reduction": 1.0 - last / first,
+        "final": hist[-1],
+        "steps_per_sec": args.steps / (time.time() - t0),
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary, indent=2))
+    assert last < 0.7 * first, f"reconstruction did not improve: {first} -> {last}"
+    print("TRAINING EVIDENCE OK: reconstruction L1 fell "
+          f"{first:.4f} -> {last:.4f} over {args.steps} steps")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,7 +18,8 @@ def build_parser():
         if f.name in ("image_size",):
             continue
         typ = type(f.default)
-        if typ is bool:
+        if typ is bool or f.default is None:
+            # tri-state None defaults (e.g. pallas_heads) parse as bools
             p.add_argument(f"--{f.name}", type=lambda v: v.lower() == "true", default=f.default)
         else:
             p.add_argument(f"--{f.name}", type=typ, default=f.default)

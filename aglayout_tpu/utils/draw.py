@@ -67,3 +67,31 @@ def draw_boxes_batch(images_u8, boxes, valid=None, labels=None, vocab=None):
             )
         )
     return np.stack(out)
+
+
+def plot_grad_flow(grads, path: str, max_bars: int = 60):
+    """Per-layer gradient-norm bar chart (reference utils/draw_box.py
+    plot_grad_flow_line/_barchart :397-453, JAX-native: takes a gradient
+    pytree instead of named_parameters)."""
+    import jax
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    flat = jax.tree_util.tree_flatten_with_path(grads)[0]
+    names, norms = [], []
+    for keypath, leaf in flat[:max_bars]:
+        names.append("/".join(str(getattr(k, "key", k)) for k in keypath)[-40:])
+        norms.append(float(np.sqrt(np.mean(np.square(np.asarray(leaf))))))
+    fig, ax = plt.subplots(figsize=(max(8, len(names) * 0.3), 4))
+    ax.bar(range(len(norms)), norms, color="#4878d0")
+    ax.set_xticks(range(len(names)))
+    ax.set_xticklabels(names, rotation=90, fontsize=5)
+    ax.set_yscale("log")
+    ax.set_ylabel("grad RMS")
+    ax.set_title("gradient flow")
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return dict(zip(names, norms))

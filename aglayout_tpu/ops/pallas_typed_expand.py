@@ -35,16 +35,19 @@ NL = 13  # input-type candidates (12 + zero row for OOB taps)
 KW = 4  # c3 kernel size
 
 
+_PAD = 16  # per-object row stride unit: NA*NL=182 padded to 192 (8-aligned)
+
+
 def _kernel(
     z2p_ref,  # (G, NL, NL, c2) bf16; row/col NL-1 are zeros
-    idx_ref,  # (G, NA, KW) int32 SMEM: input row type per (window, tap)
+    oh_ref,  # (G, KW, NA, NL): one-hot row-window selectors (OOB -> zero row)
     hc_ref,  # (G, NA, NL * KW): one-hot (l, w) column-window selectors
     er_ref,  # (G, S3, NA)
     ec_ref,  # (G, S3, NA)
     ab_ref,  # (G, 2, c4) f32: bn3 eval affine (a, b)
     w3t_ref,  # (KW * c2, KW * c4): ((h, c), (w, C))
     out_ref,  # (G, S3, S3, c4)
-    z1_ref,  # scratch (G * NA * NL, KW * c2)
+    z1_ref,  # scratch (G * RS, KW * c2), RS = 8-aligned row stride
     *,
     G: int,
     S3: int,
@@ -52,24 +55,29 @@ def _kernel(
     c4: int,
 ):
     cdtype = z2p_ref.dtype
-    # ---- gather: Z1[(g, a, l), (h, c)] = z2p[g, idx[g, a, h], l, :]
+    rs = -(-NA * NL // _PAD) * _PAD  # 192: aligned per-object row stride
+
+    # ---- gather via one-hot matmuls: Z1[(a, l), (h, c)] = z2p[idx[a,h], l, c]
+    # (a direct 56-copy gather per object was the kernel's bottleneck:
+    # unaligned 13-row stores)
     for g in range(G):
-        for a in range(NA):
-            for h in range(KW):
-                row = idx_ref[g, a, h]
-                z1_ref[
-                    (g * NA + a) * NL : (g * NA + a + 1) * NL,
-                    h * c2 : (h + 1) * c2,
-                ] = z2p_ref[g, row]
+        zf = z2p_ref[g].reshape(NL, NL * c2)  # (r, (l, c))
+        for h in range(KW):
+            zm = jnp.dot(
+                oh_ref[g, h], zf, preferred_element_type=jnp.float32
+            )  # (a, (l, c))
+            z1_ref[g * rs : g * rs + NA * NL, h * c2 : (h + 1) * c2] = zm.reshape(
+                NA * NL, c2
+            ).astype(z1_ref.dtype)
 
     # ---- one matmul for all G objects
     w3z = jnp.dot(
         z1_ref[...], w3t_ref[...], preferred_element_type=jnp.float32
-    )  # (G*NA*NL, KW*c4)
+    )  # (G*RS, KW*c4)
 
     for g in range(G):
         # (a, l, (w, C)) -> ((l, w), (a, C))
-        wz = w3z[g * NA * NL : (g + 1) * NA * NL].reshape(NA, NL, KW, c4)
+        wz = w3z[g * rs : g * rs + NA * NL].reshape(NA, NL, KW, c4)
         wzt = wz.transpose(1, 2, 0, 3).reshape(NL * KW, NA * c4).astype(cdtype)
         v3 = jnp.dot(hc_ref[g], wzt, preferred_element_type=jnp.float32)  # (g, (a, C))
         a3 = jnp.broadcast_to(ab_ref[g, 0][None, :], (NA, c4)).reshape(1, NA * c4)
@@ -100,13 +108,17 @@ def typed_c3_expand(
     g = group
     while n % g:
         g -= 1
+    rs = -(-NA * NL // _PAD) * _PAD
+
+    # one-hot row-window selectors; OOB taps point at z2p's zero row NL-1
+    oh = jax.nn.one_hot(idxR, NL, dtype=z2p.dtype).transpose(0, 2, 1, 3)
 
     out = pl.pallas_call(
         functools.partial(_kernel, G=g, S3=s3, c2=c2, c4=c4),
         grid=(n // g,),
         in_specs=[
             pl.BlockSpec((g, NL, NL, c2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, NA, KW), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((g, KW, NA, NL), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, NA, NL * KW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, s3, NA), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, s3, NA), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -117,8 +129,8 @@ def typed_c3_expand(
             (g, s3, s3, c4), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, s3, s3, c4), z2p.dtype),
-        scratch_shapes=[pltpu.VMEM((g * NA * NL, KW * c2), z2p.dtype)],
+        scratch_shapes=[pltpu.VMEM((g * rs, KW * c2), z2p.dtype)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(z2p, idxR, hc, er, ec, ab, w3t)
+    )(z2p, oh, hc, er, ec, ab, w3t)
     return out

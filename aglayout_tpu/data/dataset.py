@@ -132,11 +132,19 @@ class VgDataset:
         rng.shuffle(obj_idxs)
         return obj_idxs
 
-    def sample_meta(self, index: int, rng: np.random.RandomState) -> dict:
+    def sample_meta(
+        self, index: int, rng: np.random.RandomState, image=None, W=None, H=None
+    ) -> dict:
         """Decode + select only; per-object assembly is done per batch
-        (natively when native/libdatapath.so is built)."""
+        (natively when native/libdatapath.so is built). Pass `image`/`W`/`H`
+        to reuse a pre-decoded image (the native JPEG decode pool)."""
         size = self.image_size
-        img, W, H = _load_image(os.path.join(self.image_dir, self.image_paths[index]), size)
+        if image is None:
+            img, W, H = _load_image(
+                os.path.join(self.image_dir, self.image_paths[index]), size
+            )
+        else:
+            img = image
         obj_idxs = self.select_objects(index, rng)
         o_max = self.o_max
         objs = np.zeros(o_max, np.int32)
@@ -244,7 +252,21 @@ class Loader:
             if not use_native:
                 samples = [self.ds.sample(int(i), rng) for i in idxs]
                 return {k: np.stack([s[k] for s in samples]) for k in samples[0]}
-            metas = [self.ds.sample_meta(int(i), rng) for i in idxs]
+            # native JPEG decode + resize + normalize for the whole batch;
+            # per-file PIL fallback for anything libjpeg can't read
+            paths = [
+                os.path.join(self.ds.image_dir, self.ds.image_paths[int(i)])
+                for i in idxs
+            ]
+            dec, dims, n_failed = native.decode_batch(paths, self.ds.image_size)
+            metas = [
+                self.ds.sample_meta(
+                    int(i), rng, image=dec[j], W=int(dims[j, 0]), H=int(dims[j, 1])
+                )
+                if dims[j, 0] > 0
+                else self.ds.sample_meta(int(i), rng)
+                for j, i in enumerate(idxs)
+            ]
             b = len(metas)
             o = self.ds.o_max
             size = self.ds.image_size

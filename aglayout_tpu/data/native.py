@@ -47,6 +47,15 @@ def load_lib():
         ctypes.c_int,
         ctypes.c_int,
     ]
+    lib.decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p),  # paths
+        ctypes.c_int,  # n
+        ctypes.c_int,  # size
+        ctypes.c_int,  # num_threads
+        ctypes.POINTER(ctypes.c_float),  # out (n, size, size, 3)
+        ctypes.POINTER(ctypes.c_int32),  # dims (n, 2): original W, H
+    ]
+    lib.decode_batch.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -102,3 +111,20 @@ def normalize_images(images_u8):
     out = np.empty(images_u8.shape, np.float32)
     lib.normalize_images(_ptr(images_u8, ctypes.c_uint8), _ptr(out, ctypes.c_float), n, hw)
     return out
+
+
+def decode_batch(paths, size: int, num_threads: int = 1):
+    """JPEG decode + PIL-compatible bilinear resize + imagenet normalize for
+    a batch of files (native/datapath.cpp decode_batch). Returns
+    (images (n, size, size, 3) f32, dims (n, 2) i32 [W, H], n_failed);
+    failed slots have dims == 0 — fall back to PIL per file.
+    """
+    lib = load_lib()
+    n = len(paths)
+    out = np.zeros((n, size, size, 3), np.float32)
+    dims = np.zeros((n, 2), np.int32)
+    arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    n_failed = lib.decode_batch(
+        arr, n, size, num_threads, _ptr(out, ctypes.c_float), _ptr(dims, ctypes.c_int32)
+    )
+    return out, dims, n_failed

@@ -129,3 +129,179 @@ void normalize_images(const uint8_t* src, float* dst, int n, int hw) {
   }
 }
 }
+
+// ---------------------------------------------------------------------------
+// JPEG decode worker pool (libjpeg) + PIL-compatible bilinear resize +
+// imagenet normalize — the loader's per-image hot path
+// (aglayout_tpu/data/dataset.py _load_image), replacing PIL-in-Python
+// threads when libdatapath.so is built.
+// ---------------------------------------------------------------------------
+
+#include <csetjmp>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+namespace {
+
+struct JErrMgr {
+  jpeg_error_mgr pub;
+  std::jmp_buf jb;
+};
+
+void jerr_exit(j_common_ptr cinfo) {
+  std::longjmp(reinterpret_cast<JErrMgr*>(cinfo->err)->jb, 1);
+}
+
+// Decode a JPEG file to RGB; returns true on success.
+bool decode_jpeg_file(const char* path, std::vector<uint8_t>& rgb, int* w,
+                      int* h) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return false;
+  jpeg_decompress_struct cinfo;
+  JErrMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jerr_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    std::fclose(f);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  *w = cinfo.output_width;
+  *h = cinfo.output_height;
+  rgb.resize((size_t)(*w) * (*h) * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = rgb.data() + (size_t)cinfo.output_scanline * (*w) * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  std::fclose(f);
+  return true;
+}
+
+// PIL-compatible separable triangle (BILINEAR with antialias) resampling:
+// per output pixel, center = (i+0.5)*scale, support = max(scale, 1);
+// weights = triangle((j+0.5-center)/filterscale), normalized (float
+// arithmetic; PIL quantizes to int16 — differences are sub-1/255).
+struct ResampleAxis {
+  std::vector<int> lo, n;
+  std::vector<float> w;  // flattened (out, max_taps)
+  int max_taps = 0;
+};
+
+ResampleAxis plan_axis(int in, int out) {
+  ResampleAxis ax;
+  double scale = (double)in / out;
+  double fscale = scale < 1.0 ? 1.0 : scale;
+  double support = 1.0 * fscale;  // triangle filter support = 1
+  ax.max_taps = (int)std::ceil(support) * 2 + 1;
+  ax.lo.resize(out);
+  ax.n.resize(out);
+  ax.w.assign((size_t)out * ax.max_taps, 0.0f);
+  for (int i = 0; i < out; ++i) {
+    double center = (i + 0.5) * scale;
+    int lo = (int)(center - support + 0.5);
+    int hi = (int)(center + support + 0.5);
+    if (lo < 0) lo = 0;
+    if (hi > in) hi = in;
+    double sum = 0.0;
+    std::vector<double> wd(hi - lo);
+    for (int j = lo; j < hi; ++j) {
+      double x = (j - center + 0.5) / fscale;
+      double v = x < 0 ? 1.0 + x : 1.0 - x;
+      wd[j - lo] = v > 0 ? v : 0.0;
+      sum += wd[j - lo];
+    }
+    ax.lo[i] = lo;
+    ax.n[i] = hi - lo;
+    for (int j = 0; j < hi - lo; ++j)
+      ax.w[(size_t)i * ax.max_taps + j] = (float)(wd[j] / sum);
+  }
+  return ax;
+}
+
+// resize RGB (h, w) -> (size, size) + imagenet normalize into out (S,S,3)
+void resize_normalize(const uint8_t* rgb, int w, int h, int size, float* out) {
+  ResampleAxis axw = plan_axis(w, size), axh = plan_axis(h, size);
+  // horizontal pass: (h, w, 3) -> (h, size, 3)
+  std::vector<float> tmp((size_t)h * size * 3);
+  for (int r = 0; r < h; ++r) {
+    const uint8_t* src = rgb + (size_t)r * w * 3;
+    float* dst = tmp.data() + (size_t)r * size * 3;
+    for (int i = 0; i < size; ++i) {
+      float acc[3] = {0, 0, 0};
+      const float* ww = &axw.w[(size_t)i * axw.max_taps];
+      for (int j = 0; j < axw.n[i]; ++j) {
+        const uint8_t* p = src + (size_t)(axw.lo[i] + j) * 3;
+        for (int c = 0; c < 3; ++c) acc[c] += ww[j] * p[c];
+      }
+      for (int c = 0; c < 3; ++c) dst[i * 3 + c] = acc[c];
+    }
+  }
+  const float mean[3] = {0.485f, 0.456f, 0.406f};
+  const float istd[3] = {1.f / 0.229f, 1.f / 0.224f, 1.f / 0.225f};
+  // vertical pass + normalize: (h, size, 3) -> (size, size, 3)
+  for (int i = 0; i < size; ++i) {
+    const float* ww = &axh.w[(size_t)i * axh.max_taps];
+    float* dst = out + (size_t)i * size * 3;
+    for (int x = 0; x < size; ++x) {
+      float acc[3] = {0, 0, 0};
+      for (int j = 0; j < axh.n[i]; ++j) {
+        const float* p =
+            tmp.data() + ((size_t)(axh.lo[i] + j) * size + x) * 3;
+        for (int c = 0; c < 3; ++c) acc[c] += ww[j] * p[c];
+      }
+      for (int c = 0; c < 3; ++c) {
+        float v = acc[c] * (1.0f / 255.0f);
+        v = v < 0.f ? 0.f : (v > 1.f ? 1.f : v);
+        dst[x * 3 + c] = (v - mean[c]) * istd[c];
+      }
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode + resize + normalize a batch of JPEG files with a thread pool.
+// paths: n C strings; out: (n, size, size, 3) float32; dims: (n, 2) int32
+// (original W, H). Returns the number of files that FAILED to decode
+// (failed slots are left zeroed with dims 0 — callers fall back per file).
+int decode_batch(const char** paths, int n, int size, int num_threads,
+                 float* out, int32_t* dims) {
+  std::vector<int> fail(n, 0);
+  auto work = [&](int t) {
+    std::vector<uint8_t> rgb;
+    for (int i = t; i < n; i += num_threads) {
+      int w = 0, h = 0;
+      if (decode_jpeg_file(paths[i], rgb, &w, &h)) {
+        resize_normalize(rgb.data(), w, h, size,
+                         out + (size_t)i * size * size * 3);
+        dims[i * 2] = w;
+        dims[i * 2 + 1] = h;
+      } else {
+        dims[i * 2] = 0;
+        dims[i * 2 + 1] = 0;
+        fail[i] = 1;
+      }
+    }
+  };
+  if (num_threads <= 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < num_threads; ++t) threads.emplace_back(work, t);
+    for (auto& th : threads) th.join();
+  }
+  int nf = 0;
+  for (int i = 0; i < n; ++i) nf += fail[i];
+  return nf;
+}
+}

@@ -87,3 +87,45 @@ def test_threading_consistent():
         np.testing.assert_array_equal(x, y)
 
 
+
+
+def test_native_jpeg_decode_matches_pil(tmp_path):
+    """decode_batch (libjpeg + PIL-compatible triangle resize + normalize)
+    vs the PIL path; PIL quantizes resample weights to int16, so agreement
+    is to ~1/255 in pixel units."""
+    from PIL import Image
+
+    from aglayout_tpu.data import native
+    from aglayout_tpu.data.dataset import _load_image
+
+    if native.load_lib() is None:
+        import pytest
+
+        pytest.skip("libdatapath.so not built")
+
+    rng = np.random.RandomState(0)
+    paths = []
+    for i, (w, h) in enumerate([(500, 375), (64, 64), (333, 217)]):
+        img = np.zeros((h, w, 3), np.uint8)
+        img[:] = rng.randint(0, 255, 3)
+        for _ in range(5):
+            x0, y0 = rng.randint(0, w - 20), rng.randint(0, h - 20)
+            img[y0 : y0 + 20, x0 : x0 + 20] = rng.randint(0, 255, 3)
+        p = str(tmp_path / f"{i}.jpg")
+        Image.fromarray(img).save(p, quality=92)
+        paths.append(p)
+    # one non-JPEG: must be reported failed, not crash
+    bad = str(tmp_path / "bad.jpg")
+    with open(bad, "wb") as f:
+        f.write(b"not a jpeg")
+    size = 64
+    out, dims, n_failed = native.decode_batch(paths + [bad], size)
+    assert n_failed == 1 and dims[-1, 0] == 0
+
+    std = np.asarray([0.229, 0.224, 0.225], np.float32)
+    for j, p in enumerate(paths):
+        ref, W, H = _load_image(p, size)
+        assert (dims[j] == [W, H]).all()
+        # compare in pixel units
+        diff = np.abs(out[j] - ref) * std * 255.0
+        assert diff.max() < 2.5, (j, diff.max())

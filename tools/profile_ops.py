@@ -67,8 +67,31 @@ def aggregate(logdir, top=40, line_filter="XLA Ops"):
                 total += dur
         if not by_op:
             continue
+        # busy/idle analysis: union of event intervals on this line
+        iv = []
+        for line in plane.lines:
+            if line_filter and line_filter not in line.name:
+                continue
+            for ev in line.events:
+                iv.append((ev.offset_ps, ev.offset_ps + ev.duration_ps))
+        iv.sort()
+        busy, span, cur_s, cur_e = 0, 0, None, None
+        if iv:
+            span = iv[-1][1] - iv[0][0]
+            cur_s, cur_e = iv[0]
+            for s, e in iv[1:]:
+                if s > cur_e:
+                    busy += cur_e - cur_s
+                    cur_s, cur_e = s, e
+                else:
+                    cur_e = max(cur_e, e)
+            busy += cur_e - cur_s
         print(f"\n== plane: {plane.name}  (line filter: {line_filter!r}) ==")
         print(f"total device op time: {total/1e3:.3f} ms")
+        print(
+            f"line span {span/1e9:.3f} ms, busy {busy/1e9:.3f} ms, "
+            f"idle {(span-busy)/1e9:.3f} ms"
+        )
         # group fusions by a normalized name (strip trailing .N / digits)
         grouped = collections.Counter()
         for name, dur in by_op.items():

@@ -421,9 +421,11 @@ class LayoutEncoder(nn.Module):
 
         vec = jnp.concatenate([objs_att, z.astype(objs_att.dtype)], axis=-1)
 
-        if masks is None and boxes is not None and ura:
-            # eval serving: exact type-algebra stage-1..c3 (never builds the
-            # per-object S2^2 map); includes bn3 + relu
+        if masks is None and boxes is not None and ura and self.image_size >= 128:
+            # eval serving at 128^2: exact type-algebra stage-1..c3 (never
+            # builds the per-object S2^2 map); includes bn3 + relu. At 64^2
+            # the dense c3 is cheap enough that the typed path's per-object
+            # overhead is a net loss (measured 6.4k -> 5.7k img/s).
             h = self._typed_c2c3_eval(vec, boxes, objs)
         else:
             if masks is None and boxes is not None:

@@ -58,25 +58,45 @@ def main():
         for _ in range(args.corpus_batches)
     ]
     matrix = synthetic_cooccurrence(rng, cfg.num_classes, cfg.attribute_dim)
-    step = jax.jit(make_train_step(cfg, models, matrix, attribute_pos_weight()), donate_argnums=0)
+    step = make_train_step(cfg, models, matrix, attribute_pos_weight())
 
+    # run log_every steps per device call (per-step Python dispatch costs
+    # ~0.2 s RPC latency on the tunneled TPU — 6x slower than the step)
+    corpus_stacked = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *corpus
+    )
+    ncorp = len(corpus)
+
+    @jax.jit
+    def run_chunk(state, start):
+        def body(st, i):
+            batch = jax.tree_util.tree_map(
+                lambda x: x[(start + i) % ncorp], corpus_stacked
+            )
+            st, metrics = step(st, batch)
+            return st, metrics
+
+        state, ms = jax.lax.scan(body, state, jnp.arange(args.log_every))
+        return state, {k: v[-1] for k, v in ms.items()}
+
+    assert args.steps % args.log_every == 0
     os.makedirs(args.out, exist_ok=True)
     hist = []
     t0 = time.time()
     with open(os.path.join(args.out, "metrics.jsonl"), "w") as f:
-        for i in range(args.steps):
-            state, metrics = step(state, corpus[i % len(corpus)])
-            if (i + 1) % args.log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                m["step"] = i + 1
-                hist.append(m)
-                f.write(json.dumps(m) + "\n")
-                f.flush()
-            if (i + 1) % 500 == 0:
+        for ci in range(args.steps // args.log_every):
+            state, metrics = run_chunk(state, ci * args.log_every)
+            i = (ci + 1) * args.log_every
+            m = {k: float(v) for k, v in metrics.items()}
+            m["step"] = i
+            hist.append(m)
+            f.write(json.dumps(m) + "\n")
+            f.flush()
+            if i % 500 == 0:
                 print(
-                    f"step {i+1}/{args.steps}  G={hist[-1]['G/loss']:.3f} "
-                    f"D={hist[-1]['D/loss']:.3f} rec={hist[-1]['G/rec_img']:.4f} "
-                    f"({(i+1)/(time.time()-t0):.1f} steps/s)",
+                    f"step {i}/{args.steps}  G={m['G/loss']:.3f} "
+                    f"D={m['D/loss']:.3f} rec={m['G/rec_img']:.4f} "
+                    f"({i/(time.time()-t0):.1f} steps/s)",
                     flush=True,
                 )
 

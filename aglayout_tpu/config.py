@@ -29,6 +29,12 @@ class Config:
     z_dim: int = 64
     clstm_layers: int = 3
     resi_num: int = 6
+    # width knobs (defaults reproduce the reference exactly; every other
+    # width in the model is a fixed multiple of these — see
+    # models/generator.py). Small values give a semantically identical
+    # model for cheap multi-device dry runs on CPU meshes.
+    conv_dim: int = 64  # generator base width
+    d_conv_dim: int = 64  # discriminator base width
 
     # optimization (train64.py:427-446 defaults)
     niter: int = 900_000
@@ -76,7 +82,8 @@ class Config:
 
     @property
     def clstm_dims(self) -> Tuple[int, ...]:
-        return {0: (), 1: (64,), 2: (64, 64), 3: (128, 64, 64)}[self.clstm_layers]
+        cd = self.conv_dim
+        return {0: (), 1: (cd,), 2: (cd, cd), 3: (2 * cd, cd, cd)}[self.clstm_layers]
 
 
 def config_for(image_size: int = 64, **kw) -> Config:

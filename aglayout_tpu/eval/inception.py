@@ -274,6 +274,9 @@ class InceptionExtractor:
         self.model = InceptionV3(fid_variant=fid_variant)
         self.variables = load_torch_weights(weights)
         self._fn = jax.jit(lambda v, x: self.model.apply(v, x))
+        self._logits_fn = jax.jit(
+            lambda v, x: self.model.apply(v, x, return_logits=True)[1]
+        )
 
     def __call__(self, images_u8: np.ndarray, batch_size: int = 64) -> np.ndarray:
         out = np.zeros((len(images_u8), self.dim), np.float32)
@@ -285,10 +288,8 @@ class InceptionExtractor:
         return out
 
     def logits(self, images_u8: np.ndarray, batch_size: int = 64) -> np.ndarray:
-        model = InceptionV3(fid_variant=self.model.fid_variant)
-        fn = jax.jit(lambda v, x: model.apply(v, x, return_logits=True)[1])
         outs = []
         for i in range(0, len(images_u8), batch_size):
             chunk = images_u8[i : i + batch_size]
-            outs.append(np.asarray(fn(self.variables, preprocess(chunk))))
+            outs.append(np.asarray(self._logits_fn(self.variables, preprocess(chunk))))
         return np.concatenate(outs, 0)

@@ -36,10 +36,19 @@ def inception_score_from_dir(
 ):
     """Published-comparable IS: softmax of the flax InceptionV3 logits
     (eval/inception.py) over a directory of images; needs a torch .pth
-    weights file (reference protocol: compute_inception_score.py:111-148)."""
+    weights file (reference protocol: compute_inception_score.py:111-148).
+
+    Images are loaded at 299^2 directly: `preprocess` performs the single
+    protocol (bilinear-to-299) resize, so any other `image_size` would add
+    a second resample the pytorch-fid/IS protocol does not have."""
     from aglayout_tpu.eval.fid import load_images
     from aglayout_tpu.eval.inception import InceptionExtractor
 
+    if image_size != 299:
+        raise ValueError(
+            f"image_size={image_size}: the IS protocol resizes to 299 exactly "
+            "once; loading at another size would double-resample"
+        )
     ext = InceptionExtractor(weights)
     imgs = load_images(image_dir, image_size)
     logits = ext.logits(imgs)

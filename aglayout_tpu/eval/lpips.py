@@ -155,6 +155,12 @@ def compute_dists_dirs(
     from PIL import Image
 
     files1 = sorted(glob.glob(os.path.join(dir1, "*.png")))
+    if bool(alexnet_weights) != bool(lpips_weights):
+        raise ValueError(
+            "real LPIPS needs BOTH --alexnet_weights and --lpips_weights; "
+            "got only one — refusing to silently fall back to the "
+            "random-pyramid stand-in"
+        )
     real = alexnet_weights and lpips_weights
     if real:
         convs, lins = load_alexnet_lpips(alexnet_weights, lpips_weights)

@@ -32,9 +32,109 @@ from aglayout_tpu.models.norms import SPADE, ConditionalBatchNorm, MaskedBatchNo
 from aglayout_tpu.ops.bilinear import crop_bbox_dense
 
 
-def clstm_hidden_dims(clstm_layers: int) -> Tuple[int, ...]:
-    """Hidden dims by layer count (reference generator_obj_att.py:459-464)."""
-    return {1: (64,), 2: (64, 64), 3: (128, 64, 64)}[clstm_layers]
+def clstm_hidden_dims(clstm_layers: int, conv_dim: int = 64) -> Tuple[int, ...]:
+    """Hidden dims by layer count (reference generator_obj_att.py:459-464),
+    expressed as multiples of the generator base width (default 64 matches
+    the reference's (128, 64, 64) exactly)."""
+    cd = conv_dim
+    return {1: (cd,), 2: (cd, cd), 3: (2 * cd, cd, cd)}[clstm_layers]
+
+
+# ---------------------------------------------------------------------------
+# Typed-eval geometry (shared by LayoutEncoder._typed_c2c3_eval and the
+# exhaustive coverage test tests/test_typed_layout.py): every row/column of
+# the c2/c3 output grids must match one of the candidate type rows below, or
+# the argmax pattern-matching would silently map it to candidate 0.
+# ---------------------------------------------------------------------------
+
+
+def _tap_geometry(size: int):
+    """(taps, inb, inbcode) for the stride-2 k4 window on the padded grid."""
+    in_size = size + 2
+    s2 = (in_size - 2) // 2 + 1
+    taps = 2 * jnp.arange(s2)[:, None] + jnp.arange(4)[None, :] - 1
+    inb = (taps >= 0) & (taps < in_size)  # (s2, 4)
+    pow2 = jnp.asarray([1, 2, 4, 8], jnp.int32)
+    inbcode = jnp.sum(inb * pow2, -1)  # (s2,)
+    return taps, inb, inbcode
+
+
+def _rect_win(taps, lo, hi, size: int):
+    """(..., s2, 4) bool: which taps land inside [round(lo*s), round(hi*s))."""
+    t0 = jnp.round(lo * size)[..., None, None]
+    t1 = jnp.round(hi * size)[..., None, None]
+    tt = taps[None, None].astype(jnp.float32) - 1.0  # original-grid coords
+    return (tt >= t0) & (tt < t1)
+
+
+def _axis_typing(rwin, inb, inbcode, lo, hi, size: int):
+    """Type one axis of the c2 grid: 12 candidate rows covering every
+    realized (inb, rect-window) pattern. Returns (sel, rwinK, inbK,
+    covered); `covered` flags rows whose pattern matched a candidate."""
+    s2 = rwin.shape[-2]
+    pow2 = jnp.asarray([1, 2, 4, 8], jnp.int32)
+    code = jnp.sum(rwin * pow2, -1) + 16 * inbcode  # (..., s2)
+    yt = jnp.floor((jnp.round(lo * size) - 1.0) / 2.0)
+    yb = jnp.floor((jnp.round(hi * size) - 1.0) / 2.0)
+    ones = jnp.ones_like(yt)
+    cand = jnp.stack(
+        [0 * ones, ones, yt - 1, yt, yt + 1, yt + 2,
+         yb - 1, yb, yb + 1, yb + 2, (s2 - 2) * ones, (s2 - 1) * ones],
+        -1,
+    )
+    cand = jnp.clip(cand, 0, s2 - 1).astype(jnp.int32)  # (..., 12)
+    candcode = jnp.take_along_axis(code, cand, axis=-1)
+    eq = code[..., :, None] == candcode[..., None, :]
+    covered = jnp.any(eq, axis=-1)  # (..., s2)
+    sel = jnp.argmax(eq, axis=-1).astype(jnp.int32)  # (..., s2)
+    rwinK = jnp.take_along_axis(rwin, cand[..., None], axis=-2)  # (..., 12, 4)
+    inbK = inb[cand]  # (..., 12, 4)
+    return sel, rwinK, inbK, covered
+
+
+def _axis_out_typing(sel, lo, hi, size: int, s2: int, s3: int):
+    """Type the c3 output windows (4 input rows, stride 2, pad 1): 14
+    candidates on the s3 grid. Returns (sel3, winK, covered)."""
+    src = 2 * jnp.arange(s3)[:, None] + jnp.arange(4)[None, :] - 1  # (s3, 4)
+    selpad = jnp.pad(sel + 1, [(0, 0)] * (sel.ndim - 1) + [(1, 1)])  # 0 = OOB
+    win = selpad[..., jnp.clip(src + 1, 0, s2 + 1)]  # (..., s3, 4) in 0..12
+    code = jnp.sum(win * jnp.asarray([1, 13, 169, 2197]), -1)
+    yt = jnp.floor((jnp.floor((jnp.round(lo * size) - 1.0) / 2.0) - 1.0) / 2.0)
+    yb = jnp.floor((jnp.floor((jnp.round(hi * size) - 1.0) / 2.0) - 1.0) / 2.0)
+    ones = jnp.ones_like(yt)
+    cand = jnp.stack(
+        [0 * ones, ones, yt - 1, yt, yt + 1, yt + 2, yt + 3,
+         yb - 1, yb, yb + 1, yb + 2, yb + 3, (s3 - 2) * ones, (s3 - 1) * ones],
+        -1,
+    )
+    cand = jnp.clip(cand, 0, s3 - 1).astype(jnp.int32)  # (..., 14)
+    candcode = jnp.take_along_axis(code, cand, axis=-1)
+    eq = code[..., :, None] == candcode[..., None, :]
+    covered = jnp.any(eq, axis=-1)  # (..., s3)
+    sel3 = jnp.argmax(eq, axis=-1).astype(jnp.int32)  # (..., s3)
+    winK = jnp.take_along_axis(win, cand[..., None], axis=-2)  # (..., 14, 4)
+    return sel3, winK, covered
+
+
+def typed_axis_coverage(size: int):
+    """Exhaustive coverage check of the typed-eval candidates for one axis.
+
+    The typing depends on the box only through its rounded integer edge
+    coordinates, and rows/columns are typed independently — so enumerating
+    every integer (lo, hi) edge pair in [0, size]^2 is a complete proof for
+    a given image size. Returns (covered_c2, covered_c3), each
+    (n_pairs,) bool — all True iff no realizable pattern is uncovered.
+    """
+    taps, inb, inbcode = _tap_geometry(size)
+    s2 = inb.shape[0]
+    s3 = (s2 - 2) // 2 + 1
+    grid = jnp.arange(size + 1, dtype=jnp.float32) / size
+    lo = jnp.repeat(grid, size + 1).reshape(1, -1)
+    hi = jnp.tile(grid, size + 1).reshape(1, -1)
+    rwin = _rect_win(taps, lo, hi, size)[0]  # (P, s2, 4) — drop the lead 1
+    sel, _, _, cov2 = _axis_typing(rwin, inb, inbcode, lo[0], hi[0], size)
+    _, _, cov3 = _axis_out_typing(sel, lo[0], hi[0], size, s2, s3)
+    return jnp.all(cov2, axis=-1), jnp.all(cov3, axis=-1)
 
 
 class CropEncoder(nn.Module):
@@ -87,20 +187,22 @@ class AttributeEncoder(nn.Module):
     num_classes: int
     attribute_dim: int = 106
     embedding_dim: int = 64
+    conv_dim: int = 64  # MLP 2cd -> cd -> cd (reference: 128 -> 64 -> 64)
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, objs, attribute, mask, train: bool):
         ura = not train
+        cd = self.conv_dim
         emb = Embed(self.num_classes, self.embedding_dim, dtype=self.dtype, name="embedding")(objs)
         a = jnp.concatenate([emb, attribute.astype(emb.dtype)], axis=-1)
-        a = Dense(128, dtype=self.dtype, name="c0")(a)
-        a = MaskedBatchNorm(128, dtype=self.dtype, name="bn0")(a, mask, ura)
+        a = Dense(2 * cd, dtype=self.dtype, name="c0")(a)
+        a = MaskedBatchNorm(2 * cd, dtype=self.dtype, name="bn0")(a, mask, ura)
         a = nn.relu(a)
-        a = Dense(64, dtype=self.dtype, name="c1")(a)
-        a = MaskedBatchNorm(64, dtype=self.dtype, name="bn1")(a, mask, ura)
+        a = Dense(cd, dtype=self.dtype, name="c1")(a)
+        a = MaskedBatchNorm(cd, dtype=self.dtype, name="bn1")(a, mask, ura)
         a = nn.relu(a)
-        return Dense(64, dtype=self.dtype, name="c2")(a)
+        return Dense(cd, dtype=self.dtype, name="c2")(a)
 
 
 class LayoutEncoder(nn.Module):
@@ -134,7 +236,7 @@ class LayoutEncoder(nn.Module):
 
     def setup(self):
         d = self.conv_dim
-        c0_in = 64 + self.z_dim
+        c0_in = self.conv_dim + self.z_dim  # attribute code (cd) ⊕ z
         self.c0 = Conv2d(
             d, 1, stride=1, padding=1, use_bias=False, dtype=self.dtype, in_features=c0_in
         )
@@ -155,7 +257,7 @@ class LayoutEncoder(nn.Module):
         self.bn4 = ConditionalBatchNorm(d * 8, self.num_classes, dtype=self.dtype)
         self.clstm = LayoutFuser(self.clstm_dims, dtype=self.dtype)
         self.residuals = [
-            ResidualBlock(64, dtype=self.dtype, name=f"residual_{i}")
+            ResidualBlock(self.clstm_dims[-1], dtype=self.dtype, name=f"residual_{i}")
             for i in range(self.resi_num)
         ]
 
@@ -273,45 +375,20 @@ class LayoutEncoder(nn.Module):
         kq = jnp.einsum("hwdc,bod->bohwc", w2, q)
         kp = jnp.einsum("hwdc,bod->bohwc", w2, p - q)
 
-        # ---- tap windows on the padded grid (identical to _fused_stage1)
-        taps = 2 * jnp.arange(s2)[:, None] + jnp.arange(4)[None, :] - 1
-        inb = (taps >= 0) & (taps < in_size)  # (s2, 4)
+        # ---- tap windows on the padded grid (identical to _fused_stage1);
+        # geometry shared with typed_axis_coverage, whose exhaustive test
+        # proves every realizable pattern matches a candidate (so the
+        # argmax row->candidate map below can never silently mis-type)
+        taps, inb, inbcode = _tap_geometry(size)
 
-        def rect_win(lo, hi):
-            t0 = jnp.round(lo * size)[..., None, None]
-            t1 = jnp.round(hi * size)[..., None, None]
-            tt = taps[None, None].astype(jnp.float32) - 1.0
-            return (tt >= t0) & (tt < t1)  # (B, O, s2, 4)
-
-        pow2 = jnp.asarray([1, 2, 4, 8], jnp.int32)
-        inbcode = jnp.sum(inb * pow2, -1)  # (s2,)
-
-        def typing(rwin, lo, hi):
-            """Type one axis: 12 candidate rows covering every realized
-            (inb, rect-window) pattern, plus the row -> candidate map."""
-            code = jnp.sum(rwin * pow2, -1) + 16 * inbcode  # (B, O, s2)
-            yt = jnp.floor((jnp.round(lo * size) - 1.0) / 2.0)
-            yb = jnp.floor((jnp.round(hi * size) - 1.0) / 2.0)
-            ones = jnp.ones_like(yt)
-            cand = jnp.stack(
-                [0 * ones, ones, yt - 1, yt, yt + 1, yt + 2,
-                 yb - 1, yb, yb + 1, yb + 2, (s2 - 2) * ones, (s2 - 1) * ones],
-                -1,
-            )
-            cand = jnp.clip(cand, 0, s2 - 1).astype(jnp.int32)  # (B, O, 12)
-            candcode = jnp.take_along_axis(code, cand, axis=2)
-            eq = code[..., :, None] == candcode[..., None, :]
-            sel = jnp.argmax(eq, axis=-1).astype(jnp.int32)  # (B, O, s2)
-            rwinK = jnp.take_along_axis(
-                rwin, cand[..., None], axis=2
-            )  # (B, O, 12, 4)
-            inbK = inb[cand]  # (B, O, 12, 4)
-            return sel, rwinK, inbK
-
-        rr = rect_win(boxes[..., 1], boxes[..., 3])
-        cc = rect_win(boxes[..., 0], boxes[..., 2])
-        selR, rrK, inbKR = typing(rr, boxes[..., 1], boxes[..., 3])
-        selC, ccK, inbKC = typing(cc, boxes[..., 0], boxes[..., 2])
+        rr = _rect_win(taps, boxes[..., 1], boxes[..., 3], size)
+        cc = _rect_win(taps, boxes[..., 0], boxes[..., 2], size)
+        selR, rrK, inbKR, _ = _axis_typing(
+            rr, inb, inbcode, boxes[..., 1], boxes[..., 3], size
+        )
+        selC, ccK, inbKC, _ = _axis_typing(
+            cc, inb, inbcode, boxes[..., 0], boxes[..., 2], size
+        )
 
         # ---- c2 values on the 12x12 type grid, bn2-affine + relu
         V2 = jnp.einsum(
@@ -325,30 +402,12 @@ class LayoutEncoder(nn.Module):
         z2 = nn.relu(a2 * V2 + b2)
 
         # ---- type the c3 output windows (4 input rows, stride 2, pad 1)
-        def out_typing(sel, lo, hi):
-            src = 2 * jnp.arange(s3)[:, None] + jnp.arange(4)[None, :] - 1  # (s3,4)
-            selpad = jnp.pad(sel + 1, ((0, 0), (0, 0), (1, 1)))  # 0 = OOB
-            win = selpad[:, :, jnp.clip(src + 1, 0, s2 + 1)]  # (B,O,s3,4) in 0..12
-            code = jnp.sum(win * jnp.asarray([1, 13, 169, 2197])[None, None, None], -1)
-            yt = jnp.floor((jnp.floor((jnp.round(lo * size) - 1.0) / 2.0) - 1.0) / 2.0)
-            yb = jnp.floor((jnp.floor((jnp.round(hi * size) - 1.0) / 2.0) - 1.0) / 2.0)
-            ones = jnp.ones_like(yt)
-            cand = jnp.stack(
-                [0 * ones, ones, yt - 1, yt, yt + 1, yt + 2, yt + 3,
-                 yb - 1, yb, yb + 1, yb + 2, yb + 3, (s3 - 2) * ones, (s3 - 1) * ones],
-                -1,
-            )
-            cand = jnp.clip(cand, 0, s3 - 1).astype(jnp.int32)  # (B, O, 14)
-            candcode = jnp.take_along_axis(code, cand, axis=2)
-            eq = code[..., :, None] == candcode[..., None, :]
-            sel3 = jnp.argmax(eq, axis=-1).astype(jnp.int32)  # (B, O, s3)
-            winK = jnp.take_along_axis(
-                win, cand[..., None], axis=2
-            )  # (B, O, 14, 4) in 0..12 (0 = OOB)
-            return sel3, winK
-
-        sel3R, winKR = out_typing(selR, boxes[..., 1], boxes[..., 3])
-        sel3C, winKC = out_typing(selC, boxes[..., 0], boxes[..., 2])
+        sel3R, winKR, _ = _axis_out_typing(
+            selR, boxes[..., 1], boxes[..., 3], size, s2, s3
+        )
+        sel3C, winKC, _ = _axis_out_typing(
+            selC, boxes[..., 0], boxes[..., 2], size, s2, s3
+        )
 
         # ---- c3 on the type grid: V3[a, b, C]
         # z2 padded with a zero row/col at index 12 for OOB taps
@@ -484,15 +543,16 @@ class GlobalEncoder(nn.Module):
     spatial sum).
     """
 
+    dim: int = 128  # 2 * conv_dim in the reference (128 at conv_dim=64)
     dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, h, train: bool):
         ura = not train
-        h = Conv2d(128, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype, name="c1")(h)
-        h = MaskedBatchNorm(128, dtype=self.dtype, name="bn1")(h, None, ura)
+        h = Conv2d(self.dim, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype, name="c1")(h)
+        h = MaskedBatchNorm(self.dim, dtype=self.dtype, name="bn1")(h, None, ura)
         h = nn.relu(h)
-        h = Conv2d(128, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype, name="c2")(h)
+        h = Conv2d(self.dim, 4, stride=2, padding=1, use_bias=False, dtype=self.dtype, name="c2")(h)
         return jnp.sum(h, axis=(1, 2))
 
 
@@ -515,14 +575,15 @@ class Decoder(nn.Module):
 
     def setup(self):
         d = self.conv_dim
+        spade_kw = dict(seg_features=d, nhidden=2 * d, dtype=self.dtype)
         self.c0_new = Conv2d(d * 4, 3, padding=1, use_bias=False, dtype=self.dtype)
-        self.spade_0 = SPADE(d * 4, dtype=self.dtype)
+        self.spade_0 = SPADE(d * 4, **spade_kw)
         self.dc1 = ConvTranspose2d(d * 4, 4, 2, 1, use_bias=False, dtype=self.dtype)
-        self.spade_1 = SPADE(d * 4, dtype=self.dtype)
+        self.spade_1 = SPADE(d * 4, **spade_kw)
         self.dc2 = ConvTranspose2d(d * 2, 4, 2, 1, use_bias=False, dtype=self.dtype)
-        self.spade_2 = SPADE(d * 2, dtype=self.dtype)
+        self.spade_2 = SPADE(d * 2, **spade_kw)
         self.dc3 = ConvTranspose2d(d, 4, 2, 1, use_bias=False, dtype=self.dtype)
-        self.spade_3 = SPADE(d, dtype=self.dtype)
+        self.spade_3 = SPADE(d, **spade_kw)
         # c4/c5/c7 kernels declared with in_features so the fused Pallas
         # heads (ops/pallas_spade_conv.py) can read them directly
         self.c4 = Conv2d(3, 7, padding=3, use_bias=True, dtype=self.dtype, in_features=d)
@@ -530,9 +591,9 @@ class Decoder(nn.Module):
             self.c5 = Conv2d(
                 d * 2, 7, padding=3, use_bias=False, dtype=self.dtype, in_features=3
             )
-            self.spade_4 = SPADE(d * 2, dtype=self.dtype)
+            self.spade_4 = SPADE(d * 2, **spade_kw)
             self.c6 = Conv2d(d * 2, 5, padding=2, use_bias=False, dtype=self.dtype)
-            self.spade_5 = SPADE(d * 2, dtype=self.dtype)
+            self.spade_5 = SPADE(d * 2, **spade_kw)
             self.c7 = Conv2d(
                 3, 7, padding=3, use_bias=True, dtype=self.dtype, in_features=d * 2
             )
@@ -608,6 +669,11 @@ class Generator(nn.Module):
     object_size: int = 32
     clstm_layers: int = 3
     resi_num: int = 6
+    # base width; every hard-coded width of the reference is conv_dim (64),
+    # 2x (attribute-MLP hidden, global vector, SPADE nhidden) or 4..16x of
+    # it. Non-default values give a width-scaled but semantically identical
+    # model (used by the multi-chip CPU dry run).
+    conv_dim: int = 64
     # fused_layout: masks are guaranteed to be rasterizations of the boxes
     # (true for the VG pipeline and generate()); the layout encoder then
     # takes its exact fused rectangular-mask path in BOTH train and eval.
@@ -618,28 +684,32 @@ class Generator(nn.Module):
     dtype: jnp.dtype | None = None
 
     def setup(self):
+        cd = self.conv_dim
         self.crop_encoder = CropEncoder(
-            self.num_classes, self.z_dim, dtype=self.dtype
+            self.num_classes, self.z_dim, conv_dim=cd, dtype=self.dtype
         )
         self.layout_encoder = LayoutEncoder(
             self.num_classes,
             image_size=self.image_size,
+            conv_dim=cd,
             resi_num=self.resi_num,
-            clstm_dims=clstm_hidden_dims(self.clstm_layers),
+            clstm_dims=clstm_hidden_dims(self.clstm_layers, cd),
             z_dim=self.z_dim,
             pallas_typed=self.pallas_heads,
             dtype=self.dtype,
         )
         self.decoder = Decoder(
             image_size=self.image_size,
+            conv_dim=cd,
             pallas_heads=self.pallas_heads,
             dtype=self.dtype,
         )
-        self.global_encoder = GlobalEncoder(dtype=self.dtype)
+        self.global_encoder = GlobalEncoder(dim=2 * cd, dtype=self.dtype)
         self.attribute_encoder = AttributeEncoder(
             self.num_classes,
             attribute_dim=self.attribute_dim,
             embedding_dim=self.embedding_dim,
+            conv_dim=cd,
             dtype=self.dtype,
         )
 

@@ -16,7 +16,6 @@ import numpy as np
 from aglayout_tpu.config import Config
 from aglayout_tpu.data.vocab import attribute_pos_weight
 from aglayout_tpu.ops.image import imagenet_deprocess_batch
-from aglayout_tpu.ops.bilinear import crop_bbox_dense
 from aglayout_tpu.parallel import make_mesh, make_sharded_train_step, replicated, shard_batch
 from aglayout_tpu.train.state import Models, create_train_state
 from aglayout_tpu.train.step import make_train_step
@@ -76,7 +75,14 @@ def train(cfg: Config, loader=None, niter: int | None = None, use_tensorboard: b
     state, start = restore_state(dirs["models"], state, cfg.resume)
 
     matrix = load_cooccurrence(cfg)
-    step_fn = make_train_step(cfg, models, matrix, attribute_pos_weight())
+    # VG's 106-attribute pos-weight table (train64.py:24-28); non-VG vocab
+    # sizes (synthetic smoke configs) fall back to uniform weights
+    pos_weight = (
+        attribute_pos_weight()
+        if cfg.attribute_dim == 106
+        else np.ones(cfg.attribute_dim, np.float32)
+    )
+    step_fn = make_train_step(cfg, models, matrix, pos_weight)
 
     mesh = make_mesh(cfg.num_devices)
     state = jax.device_put(state, replicated(mesh))
@@ -97,24 +103,35 @@ def train(cfg: Config, loader=None, niter: int | None = None, use_tensorboard: b
             pending = shard_batch(next(it), mesh)
 
         if (i + 1) % cfg.log_step == 0:
-            m = {k: float(v) for k, v in metrics.items()}
+            m = {k: float(v) for k, v in metrics.items() if k != "images"}
             m["steps_per_sec"] = cfg.log_step / (time.time() - t0)
             t0 = time.time()
             logger.log_stdout(i + 1, niter, m)
         if (i + 1) % cfg.tensorboard_step == 0:
-            logger.log_scalars(i + 1, {k: float(v) for k, v in metrics.items()})
-            imgs = batch["imgs"]
-            crops = crop_bbox_dense(imgs, batch["boxes"], cfg.object_size)
+            logger.log_scalars(
+                i + 1, {k: float(v) for k, v in metrics.items() if k != "images"}
+            )
+            # real + generated grids, same tags as the reference
+            # (train64.py:394-402); the fakes come out of the train step's
+            # own G forward, so the grids show exactly what trained
+            fake = metrics["images"]
             b, o = batch["objs"].shape
+            s = cfg.object_size
+
+            def grid(x, crop=False):
+                if crop:  # (B, O, s, s, 3) -> per-crop rescale
+                    x = x.reshape((b * o, s, s, 3))
+                return np.asarray(imagenet_deprocess_batch(x))
+
             logger.log_images(
                 i + 1,
                 {
-                    "Result/img_real": np.asarray(imagenet_deprocess_batch(imgs)),
-                    "Result/crop_real": np.asarray(
-                        imagenet_deprocess_batch(
-                            crops.reshape(b * o, cfg.object_size, cfg.object_size, 3)
-                        )
-                    ),
+                    "Result/img_real": grid(batch["imgs"]),
+                    "Result/img_real_rec": grid(fake["img_real_rec"]),
+                    "Result/img_fake_rand": grid(fake["img_fake_rand"]),
+                    "Result/crop_real": grid(fake["crop_real"], crop=True),
+                    "Result/crop_real_rec": grid(fake["crop_real_rec"], crop=True),
+                    "Result/crop_rand": grid(fake["crop_rand"], crop=True),
                 },
             )
         if (i + 1) % cfg.save_step == 0:

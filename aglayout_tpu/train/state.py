@@ -54,6 +54,7 @@ class Models:
             object_size=cfg.object_size,
             clstm_layers=cfg.clstm_layers,
             resi_num=cfg.resi_num,
+            conv_dim=cfg.conv_dim,
             pallas_heads=(
                 cfg.pallas_heads
                 if cfg.pallas_heads is not None
@@ -61,10 +62,13 @@ class Models:
             ),
             dtype=dtype,
         )
-        self.d_image = ImageDiscriminator(conv_dim=cfg.embedding_dim, dtype=dtype)
-        self.d_object = ObjectDiscriminator(n_class=cfg.num_classes, dtype=dtype)
+        self.d_image = ImageDiscriminator(conv_dim=cfg.d_conv_dim, dtype=dtype)
+        self.d_object = ObjectDiscriminator(
+            n_class=cfg.num_classes, conv_dim=cfg.d_conv_dim, dtype=dtype
+        )
         self.d_att = AttributeDiscriminator(
             n_attribute=cfg.attribute_dim,
+            conv_dim=cfg.d_conv_dim,
             extra_block=(cfg.image_size == 128),
             dtype=dtype,
         )

@@ -291,12 +291,24 @@ def make_train_step(cfg: Config, models: Models, matrix, pos_weight):
                 "G/kl": g_kl,
                 "G/object_att_cls_loss": g_att_cls,
             }
-            return g_loss, {"stats": g_stats_2, "metrics": metrics}
+            # generated-image grids for TensorBoard (train64.py:390-402);
+            # already computed by the G forward — returning them costs no
+            # extra FLOPs, and the loop only fetches them at
+            # tensorboard_step
+            images = {
+                "crop_real": out["crops_input"],
+                "crop_real_rec": out["crops_input_rec"],
+                "crop_rand": out["crops_rand"],
+                "img_real_rec": out["img_rec"],
+                "img_fake_rand": out["img_rand"],
+            }
+            images = jax.tree.map(jax.lax.stop_gradient, images)
+            return g_loss, {"stats": g_stats_2, "metrics": metrics, "images": images}
 
         (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g.params)
         new_g = adam_update(state.g, g_grads, g_aux["stats"])
 
-        metrics = {**d_aux["metrics"], **g_aux["metrics"]}
+        metrics = {**d_aux["metrics"], **g_aux["metrics"], "images": g_aux["images"]}
         new_state = state.replace(
             step=state.step + 1,
             rng=rng_next,

@@ -81,3 +81,25 @@ def test_typed_layout_adversarial_boxes(image_size, object_size):
         variables, objs, boxes, valid, z, attr, masks, False, method=Generator.generate
     )
     np.testing.assert_allclose(np.asarray(typed), np.asarray(dense), atol=3e-4)
+
+
+@pytest.mark.parametrize("image_size", [64, 128])
+def test_typed_axis_coverage_exhaustive(image_size):
+    """Every realizable (inb, rect-window) pattern must match a candidate
+    type row — the argmax pattern-match in the typed eval path would
+    otherwise silently map uncovered rows to candidate 0 (ADVICE r2).
+
+    The typing depends on the box only through rounded integer edges and
+    rows/columns type independently, so enumerating all integer (lo, hi)
+    pairs in [0, size]^2 is a complete proof for this image size.
+    """
+    from aglayout_tpu.models.generator import typed_axis_coverage
+
+    cov2, cov3 = jax.jit(typed_axis_coverage, static_argnums=0)(image_size)
+    cov2, cov3 = np.asarray(cov2), np.asarray(cov3)
+    n = image_size + 1
+    lo, hi = np.divmod(np.arange(n * n), n)
+    bad2 = np.argwhere(~cov2)
+    bad3 = np.argwhere(~cov3)
+    assert cov2.all(), f"c2 rows uncovered at edges {[(lo[i], hi[i]) for i, in bad2[:5]]}"
+    assert cov3.all(), f"c3 rows uncovered at edges {[(lo[i], hi[i]) for i, in bad3[:5]]}"

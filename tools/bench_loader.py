@@ -137,10 +137,24 @@ def main():
         print(f"{image_size}^2: loader {img_s:.1f} img/s "
               f"({n_batches} batches, {args.workers} workers)", flush=True)
 
-    # measured train-step consumption (PARITY.md): 21.2 steps/s at 64^2 b=8
-    results["train_consumption_imgs_per_sec_64_b8"] = 21.2 * 8
+    # Train-step consumption for the headroom figure: read the measured
+    # steps/s from the committed train-bench artifact when present, else
+    # fall back to the PARITY.md reference constant (21.2 steps/s @ 64^2
+    # b=8, measured at commit 6cc0cb9) and label it as such.
+    train_bench = os.path.join(os.path.dirname(TOOLS), "artifacts", "train_bench.json")
+    steps_per_sec, source = 21.2, "constant:PARITY.md@6cc0cb9"
+    if os.path.exists(train_bench):
+        try:
+            with open(train_bench) as f:
+                tb = json.load(f)
+            steps_per_sec = float(tb["steps_per_sec_64_b8"])
+            source = "artifacts/train_bench.json"
+        except (KeyError, ValueError):
+            pass
+    results["train_consumption_imgs_per_sec_64_b8"] = round(steps_per_sec * 8, 1)
+    results["train_consumption_source"] = source
     results["headroom_64"] = round(
-        results["loader_imgs_per_sec_64"] / (21.2 * 8), 2
+        results["loader_imgs_per_sec_64"] / (steps_per_sec * 8), 2
     )
     out = os.path.join(os.path.dirname(TOOLS), "artifacts", "loader_bench.json")
     os.makedirs(os.path.dirname(out), exist_ok=True)

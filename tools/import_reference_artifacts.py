@@ -59,10 +59,17 @@ def import_vocab(path: str, out_dir: str) -> dict:
     return vocab
 
 
-def import_matrix(path: str, out_dir: str, vocab: dict | None) -> np.ndarray:
+def import_matrix(
+    path: str, out_dir: str, vocab: dict | None, unsafe: bool = False
+) -> np.ndarray:
     import torch
 
-    m = torch.load(path, map_location="cpu", weights_only=False)
+    # The reference checkout is untrusted content: weights_only=True refuses
+    # to unpickle arbitrary objects (a plain saved tensor loads fine).
+    # --unsafe opts into full unpickling for exotic legacy files.
+    if unsafe:
+        print("WARNING: --unsafe unpickles arbitrary objects from", path)
+    m = torch.load(path, map_location="cpu", weights_only=not unsafe)
     if hasattr(m, "numpy"):
         m = m.numpy()
     m = np.asarray(m, np.float32)
@@ -83,13 +90,19 @@ def main():
     p.add_argument("--vocab", default=None, help="reference data/vocab.json")
     p.add_argument("--matrix", default=None, help="reference matrix_obj_vs_att.pt")
     p.add_argument("--out", required=True, help="target data dir (cfg.vg_dir)")
+    p.add_argument(
+        "--unsafe",
+        action="store_true",
+        help="allow full (arbitrary-object) unpickling of --matrix; by "
+        "default only plain tensors load (torch.load weights_only=True)",
+    )
     args = p.parse_args()
     if not args.vocab and not args.matrix:
         p.error("nothing to import: pass --vocab and/or --matrix")
     os.makedirs(args.out, exist_ok=True)
     vocab = import_vocab(args.vocab, args.out) if args.vocab else None
     if args.matrix:
-        import_matrix(args.matrix, args.out, vocab)
+        import_matrix(args.matrix, args.out, vocab, unsafe=args.unsafe)
 
 
 if __name__ == "__main__":

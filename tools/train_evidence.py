@@ -74,7 +74,9 @@ def main():
                 lambda x: x[(start + i) % ncorp], corpus_stacked
             )
             st, metrics = step(st, batch)
-            return st, metrics
+            # scalars only: scan stacks its outputs per step, and the
+            # step's "images" grids would blow up memory log_every-fold
+            return st, {k: v for k, v in metrics.items() if k != "images"}
 
         state, ms = jax.lax.scan(body, state, jnp.arange(args.log_every))
         return state, {k: v[-1] for k, v in ms.items()}

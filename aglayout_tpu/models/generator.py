@@ -421,24 +421,27 @@ class LayoutEncoder(nn.Module):
 
         if self.pallas_typed:
             # ---- Pallas back half: gather + c3-on-types + bn3/relu +
-            # expansion per object in VMEM (the XLA einsum forms lower to
-            # batched-convolution fusions + layout copies, measured ~10 ms
-            # at b=128, O=10 — as much as the dense c3 they replace)
-            from aglayout_tpu.ops.pallas_typed_expand import typed_c3_expand
-
-            hc = (
-                jax.nn.one_hot(jnp.where(winKC > 0, winKC - 1, 13), 13, dtype=dtype)
-                .reshape(n, 14, 4, 13)
-                .transpose(0, 1, 3, 2)
-                .reshape(n, 14, 13 * 4)  # (n, g, (l, w))
+            # expansion, G objects per program with block-diagonal one-hot
+            # selectors so every stage is one K>=104 matmul (the XLA einsum
+            # forms lower to batched-convolution fusions + layout copies,
+            # measured ~10 ms at b=128, O=10 — as much as the dense c3
+            # they replace; the round-2 per-object-loop kernel was MXU
+            # tile-quantization bound at 5.8 ms)
+            from aglayout_tpu.ops.pallas_typed_expand import (
+                typed_c3_expand,
+                typed_c3_inputs_from_windows,
             )
-            er = jax.nn.one_hot(sel3R, 14, dtype=dtype).reshape(n, s3, 14)
-            ec = jax.nn.one_hot(sel3C, 14, dtype=dtype).reshape(n, s3, 14)
+
+            idx_k, lsel_k, selr_k, selc_k = typed_c3_inputs_from_windows(
+                idxR.reshape(n, 14, 4),
+                winKC.reshape(n, 14, 4),
+                sel3R.reshape(n, s3),
+                sel3C.reshape(n, s3),
+            )
             ab = jnp.stack([a3, b3], axis=1).astype(jnp.float32)  # (n, 2, 4d)
             return typed_c3_expand(
                 z2p.reshape(n, 13, 13, c2d).astype(dtype),
-                idxR.reshape(n, 14, 4).astype(jnp.int32),
-                hc, er, ec, ab, w3t.astype(dtype),
+                idx_k, lsel_k, selr_k, selc_k, ab, w3t.astype(dtype),
             )
 
         # ---- XLA fallback (CPU tests): same math as einsums/matmuls
@@ -571,6 +574,10 @@ class Decoder(nn.Module):
     # path): see ops/pallas_spade_conv.py. Exact same math; enabled by
     # Models() when the default backend is TPU.
     pallas_heads: bool = False
+    # opt-in int8 serving: c6 runs as a fused Pallas int8 kernel
+    # (ops/pallas_spade_c6_int8.py) with dynamic activation scales —
+    # approximate (sub-2% relative error), never used in training
+    int8_serving: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -584,15 +591,18 @@ class Decoder(nn.Module):
         self.spade_2 = SPADE(d * 2, **spade_kw)
         self.dc3 = ConvTranspose2d(d, 4, 2, 1, use_bias=False, dtype=self.dtype)
         self.spade_3 = SPADE(d, **spade_kw)
-        # c4/c5/c7 kernels declared with in_features so the fused Pallas
-        # heads (ops/pallas_spade_conv.py) can read them directly
+        # c4/c5/c6/c7 kernels declared with in_features so the fused Pallas
+        # heads (ops/pallas_spade_conv.py, ops/pallas_spade_c6_int8.py) can
+        # read them directly
         self.c4 = Conv2d(3, 7, padding=3, use_bias=True, dtype=self.dtype, in_features=d)
         if self.image_size == 128:
             self.c5 = Conv2d(
                 d * 2, 7, padding=3, use_bias=False, dtype=self.dtype, in_features=3
             )
             self.spade_4 = SPADE(d * 2, **spade_kw)
-            self.c6 = Conv2d(d * 2, 5, padding=2, use_bias=False, dtype=self.dtype)
+            self.c6 = Conv2d(
+                d * 2, 5, padding=2, use_bias=False, dtype=self.dtype, in_features=d * 2
+            )
             self.spade_5 = SPADE(d * 2, **spade_kw)
             self.c7 = Conv2d(
                 3, 7, padding=3, use_bias=True, dtype=self.dtype, in_features=d * 2
@@ -647,9 +657,20 @@ class Decoder(nn.Module):
         # 128: nearest 2x upsample of the 64-res RGB, then refine
         up = jnp.repeat(jnp.repeat(h_64, 2, axis=1), 2, axis=2)
         h = self.c5(up)
-        h = self.spade_4(h, seg, ura)
-        h = nn.relu(h)
-        h = self.c6(h)
+        fh = h.shape[1] // seg.shape[1]
+        if self.int8_serving and ura and fh >= 5 and h.shape[1] % seg.shape[1] == 0:
+            from aglayout_tpu.ops.pallas_spade_c6_int8 import (
+                quantize_conv_weights,
+                spade_c6_int8,
+            )
+
+            a4, b4 = self.spade_4.folded_affine_tables(seg, fh)
+            w6q, sw6 = quantize_conv_weights(self.c6.kernel)
+            h = spade_c6_int8(h, a4.astype(h.dtype), b4.astype(h.dtype), w6q, sw6, f=fh)
+        else:
+            h = self.spade_4(h, seg, ura)
+            h = nn.relu(h)
+            h = self.c6(h)
         return self._head(self.spade_5, self.c7, h, seg, ura)
 
 
@@ -681,6 +702,8 @@ class Generator(nn.Module):
     fused_layout: bool = True
     # Pallas fused RGB heads on the TPU eval path (ops/pallas_spade_conv.py)
     pallas_heads: bool = False
+    # opt-in approximate int8 serving (Decoder c6; see Decoder.int8_serving)
+    int8_serving: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -702,6 +725,7 @@ class Generator(nn.Module):
             image_size=self.image_size,
             conv_dim=cd,
             pallas_heads=self.pallas_heads,
+            int8_serving=self.int8_serving,
             dtype=self.dtype,
         )
         self.global_encoder = GlobalEncoder(dim=2 * cd, dtype=self.dtype)

@@ -2,20 +2,34 @@
 
 Back half of the layout encoder's typed-algebra eval path (see
 generator.py LayoutEncoder._typed_c2c3_eval). Per object everything is
-tiny — a 13x13 type grid of c2 values, a 182x512 matmul against the c3
-kernel, a 14x52 column contraction, bn3 affine + relu on 196 type values,
-and two one-hot expansion matmuls — but XLA lowers the per-object (batch
-1280) einsum forms to batched-convolution fusions plus layout copies
-(measured ~10 ms at b=128, O=10, 128^2). In VMEM per program the same math
-is a handful of small matmuls and row copies.
+tiny — a 13x13 type grid of c2 values, a c3-kernel contraction, bn3
+affine + relu on 196 type values, and two one-hot expansion matmuls — but
+XLA lowers the per-object (batch 1280) einsum forms to
+batched-convolution fusions plus layout copies (measured ~10 ms at b=128,
+O=10, 128^2).
 
-Math (per object, G objects per program):
-  Z1[(a, l), (h, c)] = z2p[idx[a, h], l, c]          row-window gather
-  W3z[(a, l), (w, C)] = Z1 @ w3t                      c3 kernel contraction
-  V3[g, (a, C)] = HC[g, (l, w)] @ W3z^(l,w),(a,C)     column contraction
-  V3 = relu(V3 * a3 + b3)                             bn3 eval affine
-  M1[x, (a, C)] = EC[x, g] @ V3                       column expansion
-  out[y, (x, C)] = ER[y, a] @ M1^(a),(x,C)            row expansion
+v3 design (round 3): the v2 kernel looped over objects inside each
+program, so every matmul had contraction size K in {13, 14, 52} — padded
+to the 128-wide MXU tile, wasting ~80% of MXU cycles (measured 7.1 ms
+isolated; stage bisection showed the one-hot expansion matmuls dominating
+at ~10x their FLOP cost). Here G objects are batched with BLOCK-DIAGONAL
+one-hot selector matrices (built by cheap XLA fusions in the wrapper), so
+each stage is ONE program-wide matmul with K >= 104 and there are no
+per-object loops at all:
+
+  zm_h   = ohbd_h @ zf          (G*16, G*13)(G*13, 13*c2)   row gather
+  w3z    = sum_h zm_h' @ w3t_h  (G*208, c2)(c2, 4*c4)       c3 contraction
+  wzts   = transpose(w3z)       (G,16,13,4,c4)->(G,13,4,16,c4)  batched
+  v3     = hcbd @ wzts'         (G*14, G*52)(G*52, 16*c4)   col windows
+  v3r    = relu(v3 * A3 + B3)   bn3 eval affine (pad-lane masked)
+  m1     = ecbd @ v3r           (G*33, G*14)                col expansion
+  m1t    = transpose(m1)        (G,33,16,c4)->(G,16,33,c4)  batched
+  out    = erbd @ m1t           (G*33, G*16)(G*16, 33*c4)   row expansion
+
+Row strides are padded to 16 per object where rows are sliced/stored, so
+every store and reshape is (8,128)-tile aligned; pad rows/cols are forced
+to exact zeros at the source (zero rows in ohbd) so no NaN garbage can
+leak through 0*x MXU products.
 
 Exact vs the einsum composition modulo dot order (interpret-mode test);
 serving/eval only (no VJP).
@@ -33,21 +47,18 @@ from jax.experimental.pallas import tpu as pltpu
 NA = 14  # row/col window-type candidates on the output grid
 NL = 13  # input-type candidates (12 + zero row for OOB taps)
 KW = 4  # c3 kernel size
-
-
-_PAD = 16  # per-object row stride unit: NA*NL=182 padded to 192 (8-aligned)
+NAP = 16  # padded per-object row-type stride (8-aligned; 16*NL = 208)
 
 
 def _kernel(
     z2p_ref,  # (G, NL, NL, c2) bf16; row/col NL-1 are zeros
-    oh_ref,  # (G, KW, NA, NL): one-hot row-window selectors (OOB -> zero row)
-    hc_ref,  # (G, NA, NL * KW): one-hot (l, w) column-window selectors
-    er_ref,  # (G, S3, NA)
-    ec_ref,  # (G, S3, NA)
+    ohbd_ref,  # (1, KW, G*NAP, G*NL) bf16 block-diag row-window selectors
+    hcbd_ref,  # (1, G*NA, G*52) bf16 block-diag (l, w) column-window selectors
+    ecbd_ref,  # (1, G*S3, G*NA) bf16 block-diag col-type expansion
+    erbd_ref,  # (1, G*S3, G*NAP) bf16 block-diag row-type expansion
     ab_ref,  # (G, 2, c4) f32: bn3 eval affine (a, b)
     w3t_ref,  # (KW * c2, KW * c4): ((h, c), (w, C))
     out_ref,  # (G, S3, S3, c4)
-    z1_ref,  # scratch (G * RS, KW * c2), RS = 8-aligned row stride
     *,
     G: int,
     S3: int,
@@ -55,73 +66,154 @@ def _kernel(
     c4: int,
 ):
     cdtype = z2p_ref.dtype
-    rs = -(-NA * NL // _PAD) * _PAD  # 192: aligned per-object row stride
+    zf = z2p_ref[...].reshape(G * NL, NL * c2)  # rows (g, r), cols (l, c)
 
-    # ---- gather via one-hot matmuls: Z1[(a, l), (h, c)] = z2p[idx[a,h], l, c]
-    # (a direct 56-copy gather per object was the kernel's bottleneck:
-    # unaligned 13-row stores)
-    for g in range(G):
-        zf = z2p_ref[g].reshape(NL, NL * c2)  # (r, (l, c))
-        for h in range(KW):
-            zm = jnp.dot(
-                oh_ref[g, h], zf, preferred_element_type=jnp.float32
-            )  # (a, (l, c))
-            z1_ref[g * rs : g * rs + NA * NL, h * c2 : (h + 1) * c2] = zm.reshape(
-                NA * NL, c2
-            ).astype(z1_ref.dtype)
+    # ---- gather + c3 contraction: w3z[(g, a, l), (w, C)]
+    # z1[(g, a, l), (h, c)] = z2p[g, idx[a, h], l, c] realized as 4 matmuls
+    # zm_h = ohbd_h @ zf (rows (g, a_p), cols (l, c)); the (h, c) column
+    # block of z1 then contracts with the matching w3t row block, so z1 is
+    # never materialized: w3z = sum_h zm_h.reshape @ w3t[h*c2:(h+1)*c2].
+    w3z = None
+    for h in range(KW):
+        zm = jax.lax.dot_general(
+            ohbd_ref[0, h],
+            zf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G*NAP, NL*c2); pad rows (a >= NA) are exact zeros (zero rows in ohbd)
+        zmr = zm.reshape(G * NAP * NL, c2).astype(cdtype)
+        part = jax.lax.dot_general(
+            zmr,
+            w3t_ref[h * c2 : (h + 1) * c2, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G*NAP*NL, KW*c4)
+        w3z = part if w3z is None else w3z + part
 
-    # ---- one matmul for all G objects
-    w3z = jnp.dot(
-        z1_ref[...], w3t_ref[...], preferred_element_type=jnp.float32
-    )  # (G*RS, KW*c4)
+    # ---- batched transpose to ((g, l, w), (a_p, C))
+    wzts = (
+        w3z.reshape(G, NAP, NL, KW, c4)
+        .transpose(0, 2, 3, 1, 4)
+        .reshape(G * NL * KW, NAP * c4)
+        .astype(cdtype)
+    )
 
-    for g in range(G):
-        # (a, l, (w, C)) -> ((l, w), (a, C))
-        wz = w3z[g * rs : g * rs + NA * NL].reshape(NA, NL, KW, c4)
-        wzt = wz.transpose(1, 2, 0, 3).reshape(NL * KW, NA * c4).astype(cdtype)
-        v3 = jnp.dot(hc_ref[g], wzt, preferred_element_type=jnp.float32)  # (g, (a, C))
-        a3 = jnp.broadcast_to(ab_ref[g, 0][None, :], (NA, c4)).reshape(1, NA * c4)
-        b3 = jnp.broadcast_to(ab_ref[g, 1][None, :], (NA, c4)).reshape(1, NA * c4)
-        v3 = jnp.maximum(v3 * a3 + b3, 0.0).astype(cdtype)
+    # ---- column windows: v3[(g, b), (a_p, C)]
+    v3 = jax.lax.dot_general(
+        hcbd_ref[0],
+        wzts,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G*NA, NAP*c4)
 
-        m1 = jnp.dot(ec_ref[g], v3, preferred_element_type=jnp.float32)  # (x, (a, C))
-        m1t = (
-            m1.reshape(S3, NA, c4).transpose(1, 0, 2).reshape(NA, S3 * c4).astype(cdtype)
-        )
-        out = jnp.dot(er_ref[g], m1t, preferred_element_type=jnp.float32)  # (y, (x, C))
-        out_ref[g] = out.reshape(S3, S3, c4).astype(out_ref.dtype)
+    # bn3 eval affine + relu; pad lanes (a_p >= NA) masked to exact zero so
+    # relu(b3) cannot leak into them
+    apad = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, NA, NAP, c4), 2) < NA
+    ).astype(jnp.float32)
+    a3 = jnp.broadcast_to(ab_ref[:, 0][:, None, None, :], (G, NA, NAP, c4))
+    b3 = jnp.broadcast_to(ab_ref[:, 1][:, None, None, :], (G, NA, NAP, c4))
+    a3 = (a3 * apad).reshape(G * NA, NAP * c4)
+    b3 = (b3 * apad).reshape(G * NA, NAP * c4)
+    v3r = jnp.maximum(v3 * a3 + b3, 0.0).astype(cdtype)
+
+    # ---- col expansion: m1[(g, x), (a_p, C)]
+    m1 = jax.lax.dot_general(
+        ecbd_ref[0],
+        v3r,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G*S3, NAP*c4)
+
+    # ---- batched transpose to ((g, a_p), (x, C))
+    m1t = (
+        m1.reshape(G, S3, NAP, c4)
+        .transpose(0, 2, 1, 3)
+        .reshape(G * NAP, S3 * c4)
+        .astype(cdtype)
+    )
+
+    # ---- row expansion + store
+    out = jax.lax.dot_general(
+        erbd_ref[0],
+        m1t,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G*S3, S3*c4)
+    out_ref[...] = out.reshape(G, S3, S3, c4).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "group"))
 def typed_c3_expand(
-    z2p, idxR, hc, er, ec, ab, w3t, *, interpret: bool = False, group: int = 4
+    z2p, idxR, lsel, selR, selC, ab, w3t, *, interpret: bool = False, group: int = 8
 ):
-    """See module docstring. Shapes:
-    z2p (N, 13, 13, c2); idxR (N, 14, 4) int32; hc (N, 14, 52);
-    er/ec (N, S3, 14); ab (N, 2, c4); w3t (4*c2, 4*c4).
+    """Typed c3 + bn3 + relu + dense expansion (see module docstring).
+
+    z2p:  (N, 13, 13, c2) type-grid c2 values; row/col 12 must be zeros.
+    idxR: (N, 14, 4) int32 in [0, 13): c3 row-window source types.
+    lsel: (N, 14, 4) int32 in [0, 13]: c3 col-window source types; 13 = OOB
+          (contributes zero).
+    selR/selC: (N, S3) int32 in [0, 14): output row/col -> type map.
+    ab:   (N, 2, c4) f32 bn3 eval affine; w3t: (4*c2, 4*c4) ((h,c),(w,C)).
     Returns (N, S3, S3, c4) in z2p.dtype.
     """
     n, nl, _, c2 = z2p.shape
     assert nl == NL
-    s3 = er.shape[1]
+    s3 = selR.shape[1]
     c4 = ab.shape[2]
     g = group
     while n % g:
         g -= 1
-    rs = -(-NA * NL // _PAD) * _PAD
+    dt = z2p.dtype
 
-    # one-hot row-window selectors; OOB taps point at z2p's zero row NL-1
-    oh = jax.nn.one_hot(idxR, NL, dtype=z2p.dtype).transpose(0, 2, 1, 3)
+    def gband(x):
+        return x.reshape(n // g, g, *x.shape[1:])
+
+    goff = jnp.arange(g, dtype=jnp.int32)
+
+    # block-diag row-window selectors, padded to NAP rows per object; pad
+    # rows get class g*NL+... out of range -> all-zero one-hot rows
+    idx_p = jnp.pad(
+        gband(idxR), ((0, 0), (0, 0), (0, NAP - NA), (0, 0)), constant_values=NL
+    )  # OOB class marker
+    cls = jnp.where(
+        idx_p < NL, idx_p + (goff * NL)[None, :, None, None], g * NL
+    )  # (n/g, g, NAP, KW)
+    ohbd = jax.nn.one_hot(cls, g * NL, dtype=dt)  # (n/g, g, NAP, KW, g*NL)
+    ohbd = ohbd.transpose(0, 3, 1, 2, 4).reshape(n // g, KW, g * NAP, g * NL)
+
+    # block-diag (l, w) column-window selectors: row (g, b) has one 1 per w
+    # at col g*52 + lsel*4 + w (OOB lsel=13 -> class g*52+52.. >= g_total*52
+    # only via the explicit out-of-range marker)
+    wof = jnp.arange(KW, dtype=jnp.int32)
+    hcls = jnp.where(
+        gband(lsel) < NL,
+        gband(lsel) * KW + wof + (goff * (NL * KW))[None, :, None, None],
+        g * NL * KW,
+    )  # (n/g, g, NA, KW)
+    hcbd = jax.nn.one_hot(hcls, g * NL * KW, dtype=dt).sum(3)  # (n/g, g, NA, g*52)
+    hcbd = hcbd.reshape(n // g, g * NA, g * NL * KW)
+
+    ecbd = jax.nn.one_hot(
+        gband(selC) + (goff * NA)[None, :, None], g * NA, dtype=dt
+    ).reshape(n // g, g * s3, g * NA)
+    erbd = jax.nn.one_hot(
+        gband(selR) + (goff * NAP)[None, :, None], g * NAP, dtype=dt
+    ).reshape(n // g, g * s3, g * NAP)
 
     out = pl.pallas_call(
         functools.partial(_kernel, G=g, S3=s3, c2=c2, c4=c4),
         grid=(n // g,),
         in_specs=[
             pl.BlockSpec((g, NL, NL, c2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, KW, NA, NL), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, NA, NL * KW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, s3, NA), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, s3, NA), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, KW, g * NAP, g * NL), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, g * NA, g * NL * KW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, g * s3, g * NA), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * s3, g * NAP), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, 2, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -129,8 +221,14 @@ def typed_c3_expand(
             (g, s3, s3, c4), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, s3, s3, c4), z2p.dtype),
-        scratch_shapes=[pltpu.VMEM((g * rs, KW * c2), z2p.dtype)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(z2p, oh, hc, er, ec, ab, w3t)
+    )(z2p, ohbd, hcbd, ecbd, erbd, ab, w3t.astype(dt))
     return out
+
+
+def typed_c3_inputs_from_windows(idxR, winKC, sel3R, sel3C):
+    """Adapter from the generator's window arrays to this kernel's inputs:
+    winKC in 0..13 with 0 = OOB -> lsel in 0..13 with 13 = OOB."""
+    lsel = jnp.where(winKC > 0, winKC - 1, NL).astype(jnp.int32)
+    return idxR.astype(jnp.int32), lsel, sel3R.astype(jnp.int32), sel3C.astype(jnp.int32)

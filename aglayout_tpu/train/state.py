@@ -60,6 +60,7 @@ class Models:
                 if cfg.pallas_heads is not None
                 else jax.default_backend() == "tpu"
             ),
+            int8_serving=cfg.int8_serving,
             dtype=dtype,
         )
         self.d_image = ImageDiscriminator(conv_dim=cfg.d_conv_dim, dtype=dtype)

@@ -28,6 +28,11 @@ def main():
     p.add_argument("--max_objects", type=int, default=10)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--f32", action="store_true", help="disable bf16 compute")
+    p.add_argument(
+        "--int8",
+        action="store_true",
+        help="opt-in approximate int8 serving path (Pallas quantized c6)",
+    )
     p.add_argument("--train_step", action="store_true", help="bench the GAN train step instead")
     p.add_argument("--remat", action="store_true", help="rematerialized G forward (train bench)")
     args = p.parse_args()
@@ -45,6 +50,7 @@ def main():
         max_objects=args.max_objects,
         bf16=not args.f32,
         remat=args.remat,
+        int8_serving=args.int8,
     )
     models = Models(cfg)
     state = create_train_state(cfg, models, jax.random.PRNGKey(0))

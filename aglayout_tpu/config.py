@@ -56,9 +56,10 @@ class Config:
     bf16: bool = False  # bf16 compute (f32 params/BN accumulators)
     # Pallas fused decoder RGB heads on the eval path; None = auto (TPU only)
     pallas_heads: bool | None = None
-    # opt-in APPROXIMATE int8 serving (Pallas quantized kernels on the
-    # peak-bound decoder ops; sub-2% relative error, measured fidelity in
-    # PARITY.md). Never affects training; default off = exact serving.
+    # opt-in APPROXIMATE int8 serving: the wide ConvLSTM gate convs run
+    # through a Pallas int8 kernel (ops/pallas_conv8_int8.py; sub-1%
+    # pre-activation error damped by the saturating gate nonlinearities).
+    # Never affects training; default off = exact serving.
     int8_serving: bool = False
     # accept uniform attribute-swap sampling when matrix_obj_vs_att.npy is
     # missing (otherwise training refuses to start; see train/loop.py)

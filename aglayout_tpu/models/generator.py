@@ -232,6 +232,9 @@ class LayoutEncoder(nn.Module):
     # Pallas kernel for the typed-c3 back half (TPU serving; see
     # ops/pallas_typed_expand.py)
     pallas_typed: bool = False
+    # opt-in approximate int8 serving: ConvLSTM gate convs through the
+    # Pallas int8 kernel (ops/pallas_conv8_int8.py). Serving only.
+    int8_serving: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -255,7 +258,9 @@ class LayoutEncoder(nn.Module):
             in_features=d * 4,
         )
         self.bn4 = ConditionalBatchNorm(d * 8, self.num_classes, dtype=self.dtype)
-        self.clstm = LayoutFuser(self.clstm_dims, dtype=self.dtype)
+        self.clstm = LayoutFuser(
+            self.clstm_dims, int8_serving=self.int8_serving, dtype=self.dtype
+        )
         self.residuals = [
             ResidualBlock(self.clstm_dims[-1], dtype=self.dtype, name=f"residual_{i}")
             for i in range(self.resi_num)
@@ -574,10 +579,6 @@ class Decoder(nn.Module):
     # path): see ops/pallas_spade_conv.py. Exact same math; enabled by
     # Models() when the default backend is TPU.
     pallas_heads: bool = False
-    # opt-in int8 serving: c6 runs as a fused Pallas int8 kernel
-    # (ops/pallas_spade_c6_int8.py) with dynamic activation scales —
-    # approximate (sub-2% relative error), never used in training
-    int8_serving: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -657,20 +658,18 @@ class Decoder(nn.Module):
         # 128: nearest 2x upsample of the 64-res RGB, then refine
         up = jnp.repeat(jnp.repeat(h_64, 2, axis=1), 2, axis=2)
         h = self.c5(up)
-        fh = h.shape[1] // seg.shape[1]
-        if self.int8_serving and ura and fh >= 5 and h.shape[1] % seg.shape[1] == 0:
-            from aglayout_tpu.ops.pallas_spade_c6_int8 import (
-                quantize_conv_weights,
-                spade_c6_int8,
-            )
-
-            a4, b4 = self.spade_4.folded_affine_tables(seg, fh)
-            w6q, sw6 = quantize_conv_weights(self.c6.kernel)
-            h = spade_c6_int8(h, a4.astype(h.dtype), b4.astype(h.dtype), w6q, sw6, f=fh)
-        else:
-            h = self.spade_4(h, seg, ura)
-            h = nn.relu(h)
-            h = self.c6(h)
+        # NOTE int8_serving does NOT reroute c6: the fused int8 kernel
+        # (ops/pallas_spade_c6_int8.py) measures 16.3 ms/stage vs 12.3 ms
+        # for the exact XLA path — Mosaic's s8xs8->s32 dot runs at only
+        # ~1.25x the bf16 MXU rate at c6's (4096, 3200)x(3200, 128) shapes
+        # (measured: int8 dot 20.7 us vs bf16 24.8 us per row chunk), so
+        # the 2x int8 MXU headline rate is unreachable here and the exact
+        # path's free SPADE-into-conv-read fusion wins. The int8 route
+        # stays where it measures faster: the wide ConvLSTM gate conv
+        # (models/convlstm.py). Kernel + measurements kept in ROOFLINE.md.
+        h = self.spade_4(h, seg, ura)
+        h = nn.relu(h)
+        h = self.c6(h)
         return self._head(self.spade_5, self.c7, h, seg, ura)
 
 
@@ -702,7 +701,8 @@ class Generator(nn.Module):
     fused_layout: bool = True
     # Pallas fused RGB heads on the TPU eval path (ops/pallas_spade_conv.py)
     pallas_heads: bool = False
-    # opt-in approximate int8 serving (Decoder c6; see Decoder.int8_serving)
+    # opt-in approximate int8 serving (wide ConvLSTM gate convs; see
+    # models/convlstm.py ConvLSTMCell)
     int8_serving: bool = False
     dtype: jnp.dtype | None = None
 
@@ -719,13 +719,13 @@ class Generator(nn.Module):
             clstm_dims=clstm_hidden_dims(self.clstm_layers, cd),
             z_dim=self.z_dim,
             pallas_typed=self.pallas_heads,
+            int8_serving=self.int8_serving,
             dtype=self.dtype,
         )
         self.decoder = Decoder(
             image_size=self.image_size,
             conv_dim=cd,
             pallas_heads=self.pallas_heads,
-            int8_serving=self.int8_serving,
             dtype=self.dtype,
         )
         self.global_encoder = GlobalEncoder(dim=2 * cd, dtype=self.dtype)

@@ -6,9 +6,8 @@ Why: c6 is peak-bound in bf16 (9.0 ms at b=128, 97% of MXU peak — XLA
 cannot go faster exactly), and XLA's s8 conv lowering shows no speedup on
 v5e (ROOFLINE.md). The int8 MXU rate (394 TOPS, 2x bf16) is reachable only
 by hand-feeding it: this kernel quantizes the SPADE-activated input with a
-DYNAMIC per-(image, row-chunk) scale, im2cols in VMEM, runs one
-K=25*C int8 matmul per chunk, and dequantizes with per-output-channel
-weight scales. It also absorbs, for free, the two big exact-path memory
+DYNAMIC per-image scale, im2cols in VMEM, runs one K=25*C int8 matmul per
+row chunk, and dequantizes with per-output-channel weight scales. It also absorbs, for free, the two big exact-path memory
 costs around c6: the full-resolution SPADE-4 gamma/beta assembly
 (measured 3.3 ms — here the compact (B, HB, 5, W, C) class tables are
 read directly) and the conv->Pallas relayout copy in front of the c7 head
@@ -33,10 +32,6 @@ K6 = 5  # conv kernel size
 PADX = 2  # x padding inside the row scratch
 
 
-def _row_class(u: int, f: int) -> int:
-    return 0 if u == 0 else 1 if u == 1 else 3 if u == f - 2 else 4 if u == f - 1 else 2
-
-
 def _kernel(
     x_ref,  # (1, H, W, C) bf16
     a_ref,  # (1, H//f, 5, W, C) spade4 folded multiplier
@@ -44,8 +39,8 @@ def _kernel(
     w6_ref,  # (25*C, C) int8, rows (dy, dx, ci)
     sw_ref,  # (1, C) f32 per-out-channel weight scales
     out_ref,  # (1, H, W, C) bf16
-    y_ref,  # scratch (ch+4, W+2*PADX, C) bf16: spade-applied rows
-    q_ref,  # scratch (ch+4, W+2*PADX, C) int8: quantized rows
+    y_ref,  # scratch (H+2r, W+2*PADX, C) bf16: spade-applied image
+    q_ref,  # scratch (H+2r, W+2*PADX, C) int8: quantized image
     im_ref,  # scratch (ch*W, 25*C) int8: im2col
     *,
     H: int,
@@ -53,45 +48,53 @@ def _kernel(
     C: int,
     f: int,
     ch: int,
+    stages: int,
 ):
     r = K6 // 2
-    wp = W + 2 * PADX
     n_chunk = H // ch
     sw = sw_ref[0].astype(jnp.float32)  # (C,)
 
-    # x-pad lanes are zero for the whole program; row stores below only
-    # touch [PADX, PADX + W)
-    y_ref[:, :PADX] = jnp.zeros((y_ref.shape[0], PADX, C), y_ref.dtype)
-    y_ref[:, PADX + W :] = jnp.zeros((y_ref.shape[0], PADX, C), y_ref.dtype)
+    # ---- 1. bulk SPADE apply + relu, grouped by (f-block, row-class).
+    # Row classes within a block are contiguous runs (0 | 1 | interior |
+    # f-2 | f-1), so each (block, class) is ONE (n, W, C) fused op instead
+    # of the per-row loop (which Mosaic lowered to 144 scalar-indexed row
+    # stores per image — measured 18 ms/stage, the whole kernel's cost).
+    y_ref[:r] = jnp.zeros((r, W + 2 * PADX, C), y_ref.dtype)
+    y_ref[r + H :] = jnp.zeros((r, W + 2 * PADX, C), y_ref.dtype)
+    y_ref[:, :PADX] = jnp.zeros((H + 2 * r, PADX, C), y_ref.dtype)
+    y_ref[:, PADX + W :] = jnp.zeros((H + 2 * r, PADX, C), y_ref.dtype)
+    segs = [(0, 1, 0), (1, 2, 1), (2, f - 2, 2), (f - 2, f - 1, 3), (f - 1, f, 4)]
+    for blk in range(H // f):
+        for u0, u1, cls in segs:
+            g0, n = blk * f + u0, u1 - u0
+            xa = x_ref[0, g0 : g0 + n]
+            av = a_ref[0, blk, cls][None]
+            bv = b_ref[0, blk, cls][None]
+            y = jnp.maximum(xa.astype(jnp.float32) * av + bv, 0.0)
+            y_ref[r + g0 : r + g0 + n, PADX : PADX + W] = y.astype(y_ref.dtype)
+
+    # ---- 2. dynamic per-image symmetric quantization (relu'd: [0, m])
+    m = jnp.max(y_ref[...].astype(jnp.float32))
+    scale = jnp.maximum(m, 1e-8) / 127.0
+    inv = 127.0 / jnp.maximum(m, 1e-8)
+    q_ref[...] = jnp.round(y_ref[...].astype(jnp.float32) * inv).astype(jnp.int8)
+    if stages <= 1:
+        out_ref[0] = y_ref[r : r + H, PADX : PADX + W]
+        return
 
     for c in range(n_chunk):
-        # ---- 1. SPADE-applied rows [c*ch - r, c*ch + ch + r), x-padded
-        for j in range(ch + 2 * r):
-            g = c * ch + j - r
-            if g < 0 or g >= H:
-                y_ref[j, PADX : PADX + W] = jnp.zeros((W, C), y_ref.dtype)
-            else:
-                blk, u = divmod(g, f)
-                cls = _row_class(u, f)
-                xa = x_ref[0, g].astype(jnp.float32)
-                av = a_ref[0, blk, cls].astype(jnp.float32)
-                bv = b_ref[0, blk, cls].astype(jnp.float32)
-                row = jnp.maximum(xa * av + bv, 0.0)
-                y_ref[j, PADX : PADX + W] = row.astype(y_ref.dtype)
-
-        # ---- 2. dynamic per-chunk symmetric quantization (relu'd: [0, m])
-        m = jnp.max(y_ref[...].astype(jnp.float32))
-        scale = jnp.maximum(m, 1e-8) / 127.0
-        inv = 127.0 / jnp.maximum(m, 1e-8)
-        q_ref[...] = jnp.round(y_ref[...].astype(jnp.float32) * inv).astype(jnp.int8)
-
         # ---- 3. im2col: Q[(i, x), (dy, dx, ci)]
         for dy in range(K6):
             for dx in range(K6):
                 t = dy * K6 + dx
                 im_ref[:, t * C : (t + 1) * C] = q_ref[
-                    dy : dy + ch, PADX + dx - r : PADX + dx - r + W, :
+                    c * ch + dy : c * ch + dy + ch, dx : dx + W, :
                 ].reshape(ch * W, C)
+        if stages <= 2:
+            out_ref[0, c * ch : (c + 1) * ch] = im_ref[:, :C].reshape(ch, W, C).astype(
+                out_ref.dtype
+            )
+            continue
 
         # ---- 4. one int8 matmul, s32 accumulation (exact)
         z = jax.lax.dot_general(
@@ -106,8 +109,10 @@ def _kernel(
         out_ref[0, c * ch : (c + 1) * ch] = zf.reshape(ch, W, C).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("f", "ch", "interpret"))
-def spade_c6_int8(x, a_tab, b_tab, w6q, sw6, *, f: int, ch: int = 32, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("f", "ch", "interpret", "stages"))
+def spade_c6_int8(
+    x, a_tab, b_tab, w6q, sw6, *, f: int, ch: int = 32, interpret: bool = False, stages: int = 3
+):
     """relu(x * A4 + B4) -> int8 5x5 conv (C->C), dequantized to x.dtype.
 
     x: (B, H, W, C); a_tab/b_tab: (B, H//f, 5, W, C) folded SPADE tables
@@ -116,11 +121,11 @@ def spade_c6_int8(x, a_tab, b_tab, w6q, sw6, *, f: int, ch: int = 32, interpret:
     """
     bsz, H, W, C = x.shape
     assert w6q.shape == (K6, K6, C, C) and w6q.dtype == jnp.int8
-    assert H % ch == 0 and H % f == 0
+    assert H % ch == 0 and H % f == 0 and f >= 5
     w6_flat = w6q.reshape(K6 * K6 * C, C)  # rows (dy, dx, ci)
 
     return pl.pallas_call(
-        functools.partial(_kernel, H=H, W=W, C=C, f=f, ch=ch),
+        functools.partial(_kernel, H=H, W=W, C=C, f=f, ch=ch, stages=stages),
         grid=(bsz,),
         in_specs=[
             pl.BlockSpec((1, H, W, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -138,8 +143,8 @@ def spade_c6_int8(x, a_tab, b_tab, w6q, sw6, *, f: int, ch: int = 32, interpret:
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, H, W, C), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((ch + 2 * (K6 // 2), W + 2 * PADX, C), x.dtype),
-            pltpu.VMEM((ch + 2 * (K6 // 2), W + 2 * PADX, C), jnp.int8),
+            pltpu.VMEM((H + 2 * (K6 // 2), W + 2 * PADX, C), x.dtype),
+            pltpu.VMEM((H + 2 * (K6 // 2), W + 2 * PADX, C), jnp.int8),
             pltpu.VMEM((ch * W, K6 * K6 * C), jnp.int8),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),

@@ -143,7 +143,6 @@ def _kernel(
     out_ref[...] = out.reshape(G, S3, S3, c4).astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "group"))
 def typed_c3_expand(
     z2p, idxR, lsel, selR, selC, ab, w3t, *, interpret: bool = False, group: int = 8
 ):

@@ -53,6 +53,9 @@ def make_train_step(cfg: Config, models: Models, matrix, pos_weight):
     matrix: (num_classes, attribute_dim) co-occurrence counts;
     pos_weight: (attribute_dim,) positive-class weights.
     """
+    assert not getattr(cfg, "int8_serving", False), (
+        "int8_serving is an approximate SERVING path; training must be exact"
+    )
     matrix = jnp.asarray(matrix, jnp.float32)
     pos_weight = jnp.asarray(pos_weight, jnp.float32)
     g_mod, di_mod, do_mod, da_mod = (

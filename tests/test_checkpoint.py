@@ -3,10 +3,13 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from aglayout_tpu.config import Config
 from aglayout_tpu.train.state import Models, create_train_state
 from aglayout_tpu.utils.checkpoint import restore_state, save_state
+
+pytestmark = pytest.mark.quick
 
 
 def test_checkpoint_roundtrip(tmp_path):

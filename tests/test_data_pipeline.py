@@ -11,6 +11,8 @@ from aglayout_tpu.data.cooccurrence import build_matrix
 from aglayout_tpu.data.dataset import Loader, VgDataset
 from aglayout_tpu.data.split_vg import make_splits
 
+pytestmark = pytest.mark.quick
+
 
 @pytest.fixture(scope="module")
 def vg_dir(tmp_path_factory):

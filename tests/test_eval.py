@@ -1,10 +1,13 @@
 """Golden-value tests for the evaluation metric math."""
 
 import numpy as np
+import pytest
 
 from aglayout_tpu.eval.consistency import consistency_l1, random_pair_baseline
 from aglayout_tpu.eval.fid import compute_statistics, frechet_distance
 from aglayout_tpu.eval.inception_score import inception_score_from_probs
+
+pytestmark = pytest.mark.quick
 
 
 def test_frechet_distance_identical_is_zero():

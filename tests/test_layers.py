@@ -9,11 +9,14 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
 from aglayout_tpu.models.layers import Conv2d, ConvTranspose2d, adaptive_avg_pool, avg_pool2
 from aglayout_tpu.models.norms import ConditionalBatchNorm, MaskedBatchNorm, SPADE
+
+pytestmark = pytest.mark.quick
 
 
 def test_conv2d_matches_torch():

@@ -24,6 +24,8 @@ from aglayout_tpu.ops import (
     tensor_linspace,
 )
 
+pytestmark = pytest.mark.quick
+
 
 def torch_crop(feats_nchw, boxes, hh, ww):
     """Reference semantics via the public torch API (grid_sample path)."""

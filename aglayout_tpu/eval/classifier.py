@@ -96,3 +96,70 @@ def test_crop_classifier(model, params, stats, pickle_dir, crop_size=224, max_ba
             counts[key][0] += int(((pred == labels) & valid).sum())
             counts[key][1] += int(valid.sum())
     return {k: (c / max(n, 1)) for k, (c, n) in counts.items()}
+
+
+def main():
+    """Standalone driver (reference train_resinet50_vg.py /
+    test_classification_vg.py ran as their own scripts): `train` fits the
+    ResNet-50 crop classifier on real crops from the VG loader and saves
+    params; `test` scores real/rand/shift crops from generation pickles."""
+    import argparse
+    import json
+
+    from flax import serialization
+
+    p = argparse.ArgumentParser(description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+    pt = sub.add_parser("train")
+    pt.add_argument("--vg_dir", required=True)
+    pt.add_argument("--image_dir", required=True)
+    pt.add_argument("--out", default="crop_classifier.msgpack")
+    pt.add_argument("--image_size", type=int, default=64)
+    pt.add_argument("--batch_size", type=int, default=8)
+    pt.add_argument("--niter", type=int, default=5000)
+    pt.add_argument("--crop_size", type=int, default=224)
+    pe = sub.add_parser("test")
+    pe.add_argument("pickle_dir")
+    pe.add_argument("--weights", required=True)
+    pe.add_argument("--crop_size", type=int, default=224)
+    pe.add_argument("--max_batches", type=int, default=None)
+    args = p.parse_args()
+
+    from aglayout_tpu.config import config_for
+
+    if args.cmd == "train":
+        from aglayout_tpu.data.dataset import Loader, VgDataset
+
+        cfg = config_for(args.image_size, batch_size=args.batch_size)
+        ds = VgDataset(args.vg_dir, args.image_dir, "train", image_size=args.image_size)
+        loader = Loader(ds, cfg.batch_size, cfg.max_objects, shuffle=True, seed=0)
+        model, params, stats = train_crop_classifier(
+            cfg, loader, niter=args.niter, crop_size=args.crop_size
+        )
+        with open(args.out, "wb") as f:
+            f.write(serialization.to_bytes({"params": params, "batch_stats": stats}))
+        print(f"saved {args.out}")
+    else:
+        cfg = config_for(64)
+        model = ResNet50(num_classes=cfg.num_classes)
+        dummy = jnp.zeros((1, args.crop_size, args.crop_size, 3))
+        tmpl = jax.jit(model.init, static_argnames=("train",))(
+            jax.random.PRNGKey(0), dummy, train=False
+        )
+        with open(args.weights, "rb") as f:
+            variables = serialization.from_bytes(
+                {"params": tmpl["params"], "batch_stats": tmpl["batch_stats"]}, f.read()
+            )
+        acc = test_crop_classifier(
+            model,
+            variables["params"],
+            variables["batch_stats"],
+            args.pickle_dir,
+            crop_size=args.crop_size,
+            max_batches=args.max_batches,
+        )
+        print(json.dumps(acc))
+
+
+if __name__ == "__main__":
+    main()

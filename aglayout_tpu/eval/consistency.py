@@ -89,3 +89,50 @@ def evaluate_consistency(cfg, models, state, loader, max_batches: int = 50, seed
         agg["foreground_l1"].append(stats["foreground_l1"])
         agg["random_pair_l1"].append(random_pair_baseline(np.asarray(out["img_rand"]), np_rng))
     return {k: float(np.mean(v)) for k, v in agg.items()}
+
+
+def main():
+    """Standalone driver over generation pickles (reference
+    evaluation/consistency.py ran as its own script): masks are
+    re-rasterized from the pickled boxes/boxes_shift."""
+    import argparse
+    import glob
+    import json
+    import os
+    import pickle
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("pickle_dir", help="directory of batch_*.pkl from eval.gen_pickle")
+    p.add_argument("--max_batches", type=int, default=None)
+    args = p.parse_args()
+
+    import jax.numpy as jnp
+
+    from aglayout_tpu.ops.rasterize import rasterize_boxes
+
+    files = sorted(glob.glob(os.path.join(args.pickle_dir, "batch_*.pkl")))
+    if args.max_batches:
+        files = files[: args.max_batches]
+    if not files:
+        raise SystemExit(f"no batch_*.pkl under {args.pickle_dir}")
+    rng = np.random.RandomState(0)
+    agg = {"background_l1": [], "foreground_l1": [], "random_pair_l1": []}
+    for f in files:
+        with open(f, "rb") as fh:
+            rec = pickle.load(fh)
+        h, w = rec["imgs_rand"].shape[1:3]
+        masks = np.asarray(rasterize_boxes(jnp.asarray(rec["boxes"]), h, w))[..., None]
+        masks_shift = np.asarray(
+            rasterize_boxes(jnp.asarray(rec["boxes_shift"]), h, w)
+        )[..., None]
+        stats = consistency_l1(
+            rec["imgs_rand"], rec["imgs_shift"], masks, masks_shift, rec["valid"]
+        )
+        agg["background_l1"].append(stats["background_l1"])
+        agg["foreground_l1"].append(stats["foreground_l1"])
+        agg["random_pair_l1"].append(random_pair_baseline(rec["imgs_rand"], rng))
+    print(json.dumps({k: float(np.mean(v)) for k, v in agg.items()}))
+
+
+if __name__ == "__main__":
+    main()

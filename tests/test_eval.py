@@ -63,3 +63,33 @@ def test_random_pair_baseline_positive():
     rng = np.random.RandomState(0)
     imgs = rng.randn(6, 8, 8, 3).astype(np.float32)
     assert random_pair_baseline(imgs) > 0
+
+
+def test_consistency_cli_on_pickles(tmp_path):
+    """The standalone consistency driver over generation pickles."""
+    import json
+    import pickle
+    import subprocess
+    import sys
+
+    rng = np.random.RandomState(0)
+    b, o, h = 2, 3, 16
+    rec = {
+        "imgs_rand": rng.randn(b, h, h, 3).astype(np.float32),
+        "imgs_shift": rng.randn(b, h, h, 3).astype(np.float32),
+        "boxes": np.tile(np.array([0.1, 0.1, 0.5, 0.5], np.float32), (b, o, 1)),
+        "boxes_shift": np.tile(np.array([0.4, 0.1, 0.8, 0.5], np.float32), (b, o, 1)),
+        "valid": np.ones((b, o), np.float32),
+    }
+    with open(tmp_path / "batch_00000.pkl", "wb") as f:
+        pickle.dump(rec, f)
+    out = subprocess.run(
+        [sys.executable, "-m", "aglayout_tpu.eval.consistency", str(tmp_path)],
+        capture_output=True, text=True, timeout=300,
+        env={"PALLAS_AXON_POOL_IPS": "", "JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+             "PYTHONPATH": "/root/repo"},
+    )
+    assert out.returncode == 0, out.stderr
+    stats = json.loads(out.stdout.strip().splitlines()[-1])
+    assert set(stats) == {"background_l1", "foreground_l1", "random_pair_l1"}
+    assert all(np.isfinite(v) and v >= 0 for v in stats.values())

@@ -66,6 +66,15 @@ class Config:
     allow_uniform_matrix: bool = False
     # rematerialize the generator forward in the G phase (larger batches)
     remat: bool = False
+    # run the generator forward TWICE per step like the reference driver
+    # (train64.py:191,280 — the torch code needs a second forward because
+    # the D phase detached the first). Default False: one forward + vjp
+    # pullback. The only semantic deltas (documented in train/step.py) are
+    # that the VAE reparameterization eps is shared between phases instead
+    # of redrawn, and BN running stats update once per step instead of
+    # twice — training-mode math uses batch stats, so the dynamics are
+    # statistically identical; ~15% faster steps.
+    double_g_forward: bool = False
 
     # logging / checkpointing (train64.py:449-454)
     resume: str = "l"  # 'l' latest / 's' scratch / explicit step

@@ -8,9 +8,16 @@ Mirrors one iteration of the reference driver (train64.py:130-414):
   4. D step: BCE real/fake on image D (0.4/0.4/0.2 branch weights), object D
      real/fake + n_class CE aux, pos-weighted attribute BCE on annotated
      real crops; Adam step for all three Ds
-  5. G step: fresh generator forward against the *updated* Ds; masked L1
-     image rec, z-rec L1, KL, adversarial + aux losses on all branches;
-     Adam step for G
+  5. G step: generator losses against the *updated* Ds; masked L1 image
+     rec, z-rec L1, KL, adversarial + aux losses on all branches; Adam
+     step for G. By default the G gradients are pulled back through the
+     D-phase forward with jax.vjp instead of re-running it (the torch
+     original re-runs the forward at train64.py:280 only because the D
+     phase detached its outputs at :191). Deltas vs the reference cadence,
+     both restorable with Config.double_g_forward: the VAE reparam eps is
+     shared between phases instead of redrawn, and BN running stats update
+     once per step instead of twice — training-mode math uses batch
+     statistics, so the dynamics are statistically identical.
 
 TPU-first batching: the discriminators contain no BatchNorm, so the
 rec/rand/shift(/real) branches are concatenated along the batch axis and
@@ -130,15 +137,22 @@ def make_train_step(cfg: Config, models: Models, matrix, pos_weight):
             return x.reshape(n, cfg.object_size, cfg.object_size, 3)
 
         # =========================== D phase ===========================
-        g_out, g_stats_1 = g_forward(
-            state.g.params,
-            state.g.stats,
-            batch,
-            z,
-            att_d,
-            attribute_est_sw.reshape(b, o, -1),
-            rng_rep_d,
-        )
+        def _fwd(g_params):
+            return g_forward(
+                g_params,
+                state.g.stats,
+                batch,
+                z,
+                att_d,
+                attribute_est_sw.reshape(b, o, -1),
+                rng_rep_d,
+            )
+
+        if getattr(cfg, "double_g_forward", False):
+            g_out, g_stats_1 = _fwd(state.g.params)
+            g_vjp = None
+        else:
+            (g_out, g_stats_1), g_vjp = jax.vjp(_fwd, state.g.params)
         g_sg = jax.tree.map(jax.lax.stop_gradient, g_out)
 
         def d_loss_fn(d_params):
@@ -224,17 +238,9 @@ def make_train_step(cfg: Config, models: Models, matrix, pos_weight):
         new_da = adam_update(state.d_att, d_grads["da"], d_aux["stats"]["da"])
 
         # =========================== G phase ===========================
-        def g_loss_fn(g_params):
-            out, g_stats_2 = g_forward(
-                g_params,
-                g_stats_1,
-                batch,
-                z,
-                att_d,
-                attribute_est_sw.reshape(b, o, -1),
-                rng_rep_g,
-            )
-
+        def g_losses_from_out(out):
+            """All G losses as a function of the generator outputs, against
+            the UPDATED discriminators (train64.py:283-364)."""
             g_img_rec = masked_l1_image_rec(out["img_rec"], batch["imgs"], num_img_to_change)
             g_z_rec = z_rec_loss(
                 out["z_rand_rec"], out["z_rand_shift"], z.reshape(n, -1), valid_f
@@ -306,10 +312,42 @@ def make_train_step(cfg: Config, models: Models, matrix, pos_weight):
                 "img_fake_rand": out["img_rand"],
             }
             images = jax.tree.map(jax.lax.stop_gradient, images)
-            return g_loss, {"stats": g_stats_2, "metrics": metrics, "images": images}
+            return g_loss, {"metrics": metrics, "images": images}
 
-        (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(state.g.params)
-        new_g = adam_update(state.g, g_grads, g_aux["stats"])
+        if getattr(cfg, "double_g_forward", False):
+            # reference cadence: a second full forward (fresh reparam eps,
+            # second BN running-stat update), differentiated end to end
+            def g_loss_fn(g_params):
+                out, g_stats_2 = g_forward(
+                    g_params,
+                    g_stats_1,
+                    batch,
+                    z,
+                    att_d,
+                    attribute_est_sw.reshape(b, o, -1),
+                    rng_rep_g,
+                )
+                g_loss, aux = g_losses_from_out(out)
+                return g_loss, {**aux, "stats": g_stats_2}
+
+            (_, g_aux), g_grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+                state.g.params
+            )
+            g_stats_out = g_aux["stats"]
+        else:
+            # single-forward path: the D-phase forward IS the G-phase
+            # forward (the torch original re-runs it only because the D
+            # phase detached its outputs; here the vjp pulls the G-loss
+            # cotangents back through the one forward). Shares the reparam
+            # eps between phases and updates BN running stats once.
+            (g_loss_val, g_aux), out_ct = jax.value_and_grad(
+                g_losses_from_out, has_aux=True
+            )(g_out)
+            stats_ct = jax.tree.map(jnp.zeros_like, g_stats_1)
+            (g_grads,) = g_vjp((out_ct, stats_ct))
+            g_stats_out = g_stats_1
+
+        new_g = adam_update(state.g, g_grads, g_stats_out)
 
         metrics = {**d_aux["metrics"], **g_aux["metrics"], "images": g_aux["images"]}
         new_state = state.replace(

@@ -35,6 +35,11 @@ def main():
     )
     p.add_argument("--train_step", action="store_true", help="bench the GAN train step instead")
     p.add_argument("--remat", action="store_true", help="rematerialized G forward (train bench)")
+    p.add_argument(
+        "--double_g_forward",
+        action="store_true",
+        help="reference cadence: re-run the G forward in the G phase (train bench)",
+    )
     args = p.parse_args()
 
     import jax
@@ -50,6 +55,7 @@ def main():
         max_objects=args.max_objects,
         bf16=not args.f32,
         remat=args.remat,
+        double_g_forward=args.double_g_forward,
         int8_serving=args.int8,
     )
     models = Models(cfg)

@@ -48,6 +48,9 @@ def setup():
 def test_train_step_runs_and_losses_finite(setup):
     cfg, models, state, step, batch = setup
     new_state, metrics = step(state, batch)
+    images = metrics.pop("images")
+    for name, img in images.items():
+        assert np.isfinite(np.asarray(img)).all(), name
     for k, v in metrics.items():
         assert np.isfinite(float(v)), (k, float(v))
     # all four nets' params must actually change

@@ -100,6 +100,30 @@ def aggregate(logdir, top=40, line_filter="XLA Ops"):
         print(f"{'us_total':>12} {'%':>6} {'count':>6}  op")
         for name, dur in grouped.most_common(top):
             print(f"{dur:12.1f} {100*dur/total:6.2f} {occ[name]:6d}  {name[:140]}")
+
+        # category rollup: op kind x dtype-of-output (parsed from the HLO
+        # text), so flat profiles with thousands of small ops still show
+        # where the time goes
+        cats = collections.Counter()
+        cat_n = collections.Counter()
+        for name, dur in by_op.items():
+            m = re.match(r"%?([a-zA-Z][a-zA-Z0-9_\-]*)", name)
+            kind = m.group(1) if m else "?"
+            kind = re.sub(r"[_.]\d+$", "", kind)
+            # big vs small by the first shape's element count
+            sm = re.search(r"(bf16|f32|s32|s8|u8|pred|u32)\[([0-9,]*)\]", name)
+            size = 1
+            if sm and sm.group(2):
+                for d in sm.group(2).split(","):
+                    size *= int(d)
+            bucket = "big" if size >= (1 << 20) else "small"
+            cats[(kind, bucket)] += dur
+            cat_n[(kind, bucket)] += occ[name]
+        print(f"\n{'us_total':>12} {'%':>6} {'count':>6}  category")
+        for (kind, bucket), dur in cats.most_common(30):
+            print(
+                f"{dur:12.1f} {100*dur/total:6.2f} {cat_n[(kind, bucket)]:6d}  {kind} [{bucket}]"
+            )
     return
 
 

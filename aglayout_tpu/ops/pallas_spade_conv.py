@@ -60,6 +60,7 @@ def _kernel(
     O: int,
     f: int,
     chunk: int,
+    transposed: bool,
 ):
     r = K // 2
     rows = chunk + 2 * r
@@ -78,7 +79,8 @@ def _kernel(
             else:
                 blk, u = divmod(g, f)
                 cls = _row_class(u, f)
-                xa = x_ref[0, g].astype(jnp.float32)
+                xr = x_ref[g] if transposed else x_ref[0, g]
+                xa = xr.astype(jnp.float32)
                 av = a_ref[0, blk, cls].astype(jnp.float32)
                 bv = b_ref[0, blk, cls].astype(jnp.float32)
                 y_ref[j] = jnp.maximum(xa * av + bv, 0.0).astype(y_ref.dtype)
@@ -112,15 +114,29 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("f", "interpret", "chunk")
+    jax.jit, static_argnames=("f", "interpret", "chunk", "transposed")
 )
 def spade_few_out_conv(
-    x, a_tab, b_tab, kernel, bias=None, *, f: int, interpret: bool = False, chunk: int = 32
+    x,
+    a_tab,
+    b_tab,
+    kernel,
+    bias=None,
+    *,
+    f: int,
+    interpret: bool = False,
+    chunk: int = 32,
+    transposed: bool = False,
 ):
     """relu(x * A + B) convolved with a small-output-channel KxK kernel.
 
     x:     (B, H, W, C) pre-normalization features (the preceding conv's
-           output), NHWC.
+           output), NHWC — or (H, W, B, C) when transposed=True. The
+           transposed form exists because XLA lays conv outputs out as
+           {3,0,2,1} (memory order H,W,B,C): `jnp.transpose(h, (1,2,0,3))`
+           of a conv output is then a free bitcast into this kernel, where
+           the NHWC form forces a measured ~1.6 ms relayout copy in front
+           of the custom call.
     a_tab: (B, H//f, 5, W, C) folded SPADE multiplier by (row block,
            row class, column); see `SPADE.folded_affine_tables`.
     b_tab: (B, H//f, 5, W, C) folded SPADE offset.
@@ -129,7 +145,14 @@ def spade_few_out_conv(
 
     Returns (B, H, W, O) in x.dtype.
     """
-    bsz, H, W, C = x.shape
+    if transposed:
+        H, W, bsz, C = x.shape
+        # Mosaic needs the block's minor dim 128-aligned: fold (B, C) into
+        # one minor axis (a bitcast) and carve per-image C-wide slices.
+        assert C % 128 == 0, "transposed path needs C % 128 == 0"
+        x = x.reshape(H, W, bsz * C)
+    else:
+        bsz, H, W, C = x.shape
     K = kernel.shape[0]
     O = kernel.shape[3]
     assert kernel.shape[1] == K and kernel.shape[2] == C
@@ -146,13 +169,18 @@ def spade_few_out_conv(
     )
     bias = jnp.zeros((O,), jnp.float32) if bias is None else bias.astype(jnp.float32)
 
+    x_spec = (
+        pl.BlockSpec((H, W, C), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        if transposed
+        else pl.BlockSpec((1, H, W, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+    )
     out = pl.pallas_call(
         functools.partial(
-            _kernel, H=H, W=W, C=C, K=K, O=O, f=f, chunk=chunk
+            _kernel, H=H, W=W, C=C, K=K, O=O, f=f, chunk=chunk, transposed=transposed
         ),
         grid=(bsz,),
         in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec(
                 (1, H // f, 5, W, C), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -175,3 +203,53 @@ def spade_few_out_conv(
     )(x, a_tab, b_tab, w_flat, bias.reshape(1, O))
     # (B, O, H*W) -> (B, H, W, O)
     return out.reshape(bsz, O, H, W).transpose(0, 2, 3, 1)
+
+
+def _apply_kernel(x_ref, a_ref, b_ref, out_ref, *, f: int):
+    for u in range(f):
+        cls = _row_class(u, f)
+        xa = x_ref[u].astype(jnp.float32)
+        av = a_ref[0, 0, cls].astype(jnp.float32)
+        bv = b_ref[0, 0, cls].astype(jnp.float32)
+        out_ref[u] = jnp.maximum(xa * av + bv, 0.0).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("f", "interpret"))
+def spade_apply_t(x_t, a_tab, b_tab, *, f: int, interpret: bool = False):
+    """relu(x * A + B) with SPADE folded-affine class tables, on the
+    TRANSPOSED (H, W, B, C) view of a conv output.
+
+    Serves the decoder's interior SPADE-4 at 128^2 (reference
+    models/generator_obj_att128.py:596): the dense eval path materializes
+    full-resolution gamma/beta (B*H*W*2C bf16 ~ 1 GB at b=128) plus a
+    measured 3.3 ms relayout copy before XLA can fuse the apply into the
+    c6 conv read. This kernel reads the compact (B, H//f, 5, W, C) class
+    tables directly and writes the applied activation; wrapped in
+    `jnp.transpose` bitcasts it sits copy-free between the c5 and c6 convs
+    (both prefer the {3,0,2,1} = (H,W,B,C) memory order).
+
+    x_t: (H, W, B, C); a_tab/b_tab: (B, H//f, 5, W, C) from
+    `SPADE.folded_affine_tables`. Returns (H, W, B, C) in x_t.dtype.
+    """
+    H, W, bsz, C = x_t.shape
+    assert H % f == 0 and a_tab.shape == (bsz, H // f, 5, W, C), (
+        x_t.shape,
+        a_tab.shape,
+    )
+    # Same Mosaic trick as the transposed head path: fold (B, C) into one
+    # 128-aligned minor axis (a bitcast) and carve per-image C-wide slices.
+    assert C % 128 == 0, "spade_apply_t needs C % 128 == 0"
+    x_flat = x_t.reshape(H, W, bsz * C)
+    tab_spec = pl.BlockSpec(
+        (1, 1, 5, W, C), lambda i, j: (i, j, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    io_spec = pl.BlockSpec((f, W, C), lambda i, j: (j, 0, i), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_apply_kernel, f=f),
+        grid=(bsz, H // f),
+        in_specs=[io_spec, tab_spec, tab_spec],
+        out_specs=io_spec,
+        out_shape=jax.ShapeDtypeStruct(x_flat.shape, x_t.dtype),
+        interpret=interpret,
+    )(x_flat, a_tab, b_tab)
+    return out.reshape(H, W, bsz, C)

@@ -61,6 +61,46 @@ def test_fused_head_matches_dense(b, H, C, O, K, hs, seg_c):
     # re-association differences on O(100) outputs
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=5e-3)
 
+    # the transposed-x entry point (serving path) is the same math
+    if C % 128:
+        return  # transposed path requires a 128-aligned channel fold
+    got_t = spade_few_out_conv(
+        jnp.transpose(x, (1, 2, 0, 3)),
+        a_tab,
+        b_tab,
+        kern,
+        bias,
+        f=f,
+        interpret=True,
+        transposed=True,
+    )
+    np.testing.assert_allclose(np.asarray(got_t), np.asarray(got), rtol=0, atol=0)
+
+
+def test_spade_apply_t_matches_dense():
+    """spade_apply_t == relu(SPADE_eval(x, seg)) on the (H,W,B,C) view."""
+    from aglayout_tpu.ops.pallas_spade_conv import spade_apply_t
+
+    rng = np.random.RandomState(2)
+    b, hs, C, seg_c, f = 2, 8, 128, 64, 16
+    H = hs * f
+    spade = SPADE(C, seg_features=seg_c)
+    seg = jnp.asarray(rng.randn(b, hs, hs, seg_c).astype(np.float32))
+    x = jnp.asarray(rng.randn(b, H, H, C).astype(np.float32))
+    variables = spade.init(jax.random.PRNGKey(0), x, seg, True)
+    variables = jax.tree_util.tree_map(
+        lambda v: v + 0.1 * jnp.asarray(rng.rand(*v.shape), v.dtype) if v.ndim else v,
+        variables,
+    )
+
+    want = jax.nn.relu(spade.apply(variables, x, seg, True))
+    a_tab, b_tab = spade.apply(variables, seg, f, method=SPADE.folded_affine_tables)
+    got_t = spade_apply_t(
+        jnp.transpose(x, (1, 2, 0, 3)), a_tab, b_tab, f=f, interpret=True
+    )
+    got = jnp.transpose(got_t, (2, 0, 1, 3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
 
 def test_folded_tables_match_full_gamma_beta():
     """The row-class-expanded tables must agree with the assembled full-res

@@ -56,6 +56,11 @@ class Config:
     bf16: bool = False  # bf16 compute (f32 params/BN accumulators)
     # Pallas fused decoder RGB heads on the eval path; None = auto (TPU only)
     pallas_heads: bool | None = None
+    # Pallas SPADE-4 apply kernel (spade_apply8) on the 128^2 eval path;
+    # off until its TPU compile + end-to-end win are verified (the kernel
+    # is interpret-mode tested; the driver bench must never hang on an
+    # unproven Mosaic compile)
+    pallas_apply8: bool = False
     # opt-in APPROXIMATE int8 serving: the wide ConvLSTM gate convs run
     # through a Pallas int8 kernel (ops/pallas_conv8_int8.py; sub-1%
     # pre-activation error damped by the saturating gate nonlinearities).

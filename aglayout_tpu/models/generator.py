@@ -579,6 +579,9 @@ class Decoder(nn.Module):
     # path): see ops/pallas_spade_conv.py. Exact same math; enabled by
     # Models() when the default backend is TPU.
     pallas_heads: bool = False
+    # Pallas SPADE-4 apply (spade_apply8) at 128^2 eval; opt-in until its
+    # TPU compile + end-to-end win are verified (Config.pallas_apply8)
+    pallas_apply8: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -667,8 +670,36 @@ class Decoder(nn.Module):
         # path's free SPADE-into-conv-read fusion wins. The int8 route
         # stays where it measures faster: the wide ConvLSTM gate conv
         # (models/convlstm.py). Kernel + measurements kept in ROOFLINE.md.
-        h = self.spade_4(h, seg, ura)
-        h = nn.relu(h)
+        f = h.shape[1] // seg.shape[1]
+        if (
+            self.pallas_apply8
+            and self.pallas_heads
+            and ura
+            and f >= 5
+            and h.shape[1] == f * seg.shape[1]
+            and h.shape[2] == f * seg.shape[2]
+            and h.shape[0] % 8 == 0
+            and h.shape[-1] % 128 == 0
+        ):
+            # Pallas [SPADE-apply -> relu] on the (H,W,B,C) transposed view
+            # with 8-image sublane blocks and fully-compact class tables:
+            # the full-res gamma/beta (and their measured 3.3 ms assembly
+            # copy) never exist, and both transposes are free bitcasts
+            # against c5/c6's {3,0,2,1} conv layouts (no (B,C) fold — the
+            # fold variant, spade_apply_t, measured a net loss).
+            from aglayout_tpu.ops.pallas_spade_conv import spade_apply8
+
+            a_tab, b_tab = self.spade_4.folded_affine_tables_compact(seg, f)
+            h_t = spade_apply8(
+                jnp.transpose(h, (1, 2, 0, 3)),
+                a_tab.astype(h.dtype),
+                b_tab.astype(h.dtype),
+                f=f,
+            )
+            h = jnp.transpose(h_t, (2, 0, 1, 3))
+        else:
+            h = self.spade_4(h, seg, ura)
+            h = nn.relu(h)
         h = self.c6(h)
         return self._head(self.spade_5, self.c7, h, seg, ura)
 
@@ -704,6 +735,8 @@ class Generator(nn.Module):
     # opt-in approximate int8 serving (wide ConvLSTM gate convs; see
     # models/convlstm.py ConvLSTMCell)
     int8_serving: bool = False
+    # Pallas SPADE-4 apply kernel at 128^2 eval (Config.pallas_apply8)
+    pallas_apply8: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -726,6 +759,7 @@ class Generator(nn.Module):
             image_size=self.image_size,
             conv_dim=cd,
             pallas_heads=self.pallas_heads,
+            pallas_apply8=self.pallas_apply8,
             dtype=self.dtype,
         )
         self.global_encoder = GlobalEncoder(dim=2 * cd, dtype=self.dtype)

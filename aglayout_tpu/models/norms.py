@@ -287,6 +287,34 @@ class SPADE(nn.Module):
         b0 = b0.astype(gamma.dtype)
         return a0 * (1 + gamma), b0 * (1 + gamma) + beta
 
+    def folded_affine_tables_compact(self, segmap, f: int):
+        """Fully-compact folded affine tables for the 8-image-sublane Pallas
+        apply kernel (ops/pallas_spade_conv.spade_apply8): no W expansion at
+        all — both axes stay at class resolution, and the image axis is
+        moved into the sublane position so the kernel's per-column lookup is
+        one contiguous (8, C) tile copy.
+
+        Returns (A, B) each (batch//8, h, 5, w*5, 8, norm_features):
+        indexed by (image-group, row block, row class, col block*5 + col
+        class, image-in-group, channel). batch must be a multiple of 8.
+        """
+        O2 = self._block_class_grid(segmap)
+        b, h, w, _ = segmap.shape
+        assert b % 8 == 0, "compact tables need batch % 8 == 0"
+        # (B, h, 5rc, 5cc, w, 2n)
+        X = jnp.stack([jnp.stack(row, 0) for row in O2], 0).transpose(2, 3, 0, 1, 4, 5)
+        # -> (B//8, h, 5rc, w*5cc, 8, 2n)
+        T = (
+            X.transpose(0, 1, 2, 4, 3, 5)
+            .reshape(b // 8, 8, h, 5, w * 5, 2 * self.norm_features)
+            .transpose(0, 2, 3, 4, 1, 5)
+        )
+        gamma, beta = jnp.split(T, 2, axis=-1)
+        a0, b0 = self.param_free_norm.eval_affine()  # (C,) f32
+        a0 = a0.astype(gamma.dtype)
+        b0 = b0.astype(gamma.dtype)
+        return a0 * (1 + gamma), b0 * (1 + gamma) + beta
+
     def _gamma_beta_fused(self, segmap, f: int):
         """Exact gamma/beta for an f-times nearest-upsampled seg, f >= 5.
 

@@ -205,6 +205,81 @@ def spade_few_out_conv(
     return out.reshape(bsz, O, H, W).transpose(0, 2, 3, 1)
 
 
+def _apply8_kernel(x_ref, a_ref, b_ref, out_ref, ae_ref, be_ref, *, f: int, W: int):
+    # expand the compact (5rc, wb*5cc, 8, C) cell tables to (5rc, W, 8, C):
+    # per (rcls, col block): 4 edge-column tile copies + 1 broadcast over the
+    # interior run — every source row is one contiguous (8, C) tile.
+    for rcls in range(5):
+        for wb in range(W // f):
+            base = wb * f
+            for u, cls in ((0, 0), (1, 1), (f - 2, 3), (f - 1, 4)):
+                ae_ref[rcls, base + u] = a_ref[0, 0, rcls, wb * 5 + cls]
+                be_ref[rcls, base + u] = b_ref[0, 0, rcls, wb * 5 + cls]
+            ae_ref[rcls, base + 2 : base + f - 2] = jnp.broadcast_to(
+                a_ref[0, 0, rcls, wb * 5 + 2], (f - 4, *a_ref.shape[4:])
+            )
+            be_ref[rcls, base + 2 : base + f - 2] = jnp.broadcast_to(
+                b_ref[0, 0, rcls, wb * 5 + 2], (f - 4, *b_ref.shape[4:])
+            )
+    # apply in the input dtype (bf16 on the serving path — same math as
+    # XLA's fused bf16 gamma/beta apply; f32 temporaries here tripled the
+    # kernel's scoped-VMEM stack and stalled the Mosaic scheduler)
+    zero = jnp.zeros((), x_ref.dtype)
+    for u in range(f):
+        cls = _row_class(u, f)
+        out_ref[u] = jnp.maximum(x_ref[u] * ae_ref[cls] + be_ref[cls], zero)
+
+
+@functools.partial(jax.jit, static_argnames=("f", "interpret"))
+def spade_apply8(x_t, a_tab, b_tab, *, f: int, interpret: bool = False):
+    """relu(x * A + B) with fully-compact SPADE class tables, on the
+    TRANSPOSED (H, W, B, C) view of a conv output, 8 images per program.
+
+    v2 of `spade_apply_t` (which measured a net LOSS end-to-end): the
+    (B, C) minor fold it needed for Mosaic tiling is a real relayout, and
+    its W-expanded tables cost ~2 ms of XLA assembly copies. This kernel
+    needs neither: blocks are (f, W, 8, C) — an 8-image sublane group
+    satisfies the (8, 128) tiling directly, so `jnp.transpose(h,(1,2,0,3))`
+    of a conv output stays a free bitcast — and the tables stay at class
+    resolution (`SPADE.folded_affine_tables_compact`, ~25x smaller than
+    the W-expanded form), expanded in-kernel with (8, C) tile copies.
+
+    Serves the decoder's interior SPADE-4 at 128^2 (reference
+    models/generator_obj_att128.py:596), replacing the measured 3.3 ms
+    full-resolution gamma/beta assembly copy of the dense eval path.
+
+    x_t: (H, W, B, C) with B % 8 == 0; a_tab/b_tab:
+    (B//8, H//f, 5, (W//f)*5, 8, C). Returns (H, W, B, C) in x_t.dtype.
+    """
+    H, W, bsz, C = x_t.shape
+    assert bsz % 8 == 0 and H % f == 0 and W % f == 0
+    assert a_tab.shape == (bsz // 8, H // f, 5, (W // f) * 5, 8, C), (
+        x_t.shape,
+        a_tab.shape,
+    )
+    tab_spec = pl.BlockSpec(
+        (1, 1, 5, (W // f) * 5, 8, C),
+        lambda i, j: (i, j, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    io_spec = pl.BlockSpec(
+        (f, W, 8, C), lambda i, j: (j, 0, i, 0), memory_space=pltpu.VMEM
+    )
+    return pl.pallas_call(
+        functools.partial(_apply8_kernel, f=f, W=W),
+        grid=(bsz // 8, H // f),
+        in_specs=[io_spec, tab_spec, tab_spec],
+        out_specs=io_spec,
+        out_shape=jax.ShapeDtypeStruct(x_t.shape, x_t.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((5, W, 8, C), x_t.dtype),
+            pltpu.VMEM((5, W, 8, C), x_t.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(x_t, a_tab, b_tab)
+
+
 def _apply_kernel(x_ref, a_ref, b_ref, out_ref, *, f: int):
     for u in range(f):
         cls = _row_class(u, f)

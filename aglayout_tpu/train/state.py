@@ -61,6 +61,7 @@ class Models:
                 else jax.default_backend() == "tpu"
             ),
             int8_serving=cfg.int8_serving,
+            pallas_apply8=cfg.pallas_apply8,
             dtype=dtype,
         )
         self.d_image = ImageDiscriminator(conv_dim=cfg.d_conv_dim, dtype=dtype)

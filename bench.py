@@ -33,6 +33,11 @@ def main():
         action="store_true",
         help="opt-in approximate int8 serving path (Pallas quantized c6)",
     )
+    p.add_argument(
+        "--apply8",
+        action="store_true",
+        help="Pallas SPADE-4 apply kernel (spade_apply8) on the 128^2 eval path",
+    )
     p.add_argument("--train_step", action="store_true", help="bench the GAN train step instead")
     p.add_argument("--remat", action="store_true", help="rematerialized G forward (train bench)")
     p.add_argument(
@@ -57,6 +62,7 @@ def main():
         remat=args.remat,
         double_g_forward=args.double_g_forward,
         int8_serving=args.int8,
+        pallas_apply8=args.apply8,
     )
     models = Models(cfg)
     state = create_train_state(cfg, models, jax.random.PRNGKey(0))

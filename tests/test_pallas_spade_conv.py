@@ -102,6 +102,34 @@ def test_spade_apply_t_matches_dense():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
 
 
+def test_spade_apply8_matches_dense():
+    """spade_apply8 (compact tables, 8-image sublane) == relu(SPADE_eval)."""
+    from aglayout_tpu.ops.pallas_spade_conv import spade_apply8
+
+    rng = np.random.RandomState(3)
+    b, hs, C, seg_c, f = 8, 8, 128, 64, 16
+    H = hs * f
+    spade = SPADE(C, seg_features=seg_c)
+    seg = jnp.asarray(rng.randn(b, hs, hs, seg_c).astype(np.float32))
+    x = jnp.asarray(rng.randn(b, H, H, C).astype(np.float32))
+    variables = spade.init(jax.random.PRNGKey(0), x, seg, True)
+    variables = jax.tree_util.tree_map(
+        lambda v: v + 0.1 * jnp.asarray(rng.rand(*v.shape), v.dtype) if v.ndim else v,
+        variables,
+    )
+
+    want = jax.nn.relu(spade.apply(variables, x, seg, True))
+    a_tab, b_tab = spade.apply(
+        variables, seg, f, method=SPADE.folded_affine_tables_compact
+    )
+    assert a_tab.shape == (1, hs, 5, hs * 5, 8, C)
+    got_t = spade_apply8(
+        jnp.transpose(x, (1, 2, 0, 3)), a_tab, b_tab, f=f, interpret=True
+    )
+    got = jnp.transpose(got_t, (2, 0, 1, 3))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4)
+
+
 def test_folded_tables_match_full_gamma_beta():
     """The row-class-expanded tables must agree with the assembled full-res
     gamma/beta: A == a0*(1+gamma_full), B == b0*(1+gamma_full)+beta_full."""

@@ -118,10 +118,30 @@ def make_train_step(cfg: Config, models: Models, matrix, pos_weight):
 
         z = jax.random.normal(rng_z, (b, o, cfg.z_dim), jnp.float32)
 
-        # ---- attribute estimation (train64.py:155-166), no SN update
+        # ---- attribute estimation (train64.py:155-166). ONE AttD forward
+        # on real crops serves BOTH the estimation and the D-phase
+        # attribute loss: the crops here are bit-identical to the
+        # generator's crops_input (same crop_bbox_dense call), and the
+        # reference's est forward runs netD_att in train mode (its
+        # spectral-norm hook advances u there too, train64.py:161), so the
+        # shared update=True forward matches its cadence more closely than
+        # a separate no-update pass. Saves a full 320-crop AttD forward
+        # (1.4 TF, ~2.3% of the 60.8 TF step — see ROOFLINE.md train
+        # section). The gradient contribution flows through att_vjp below.
         crops_real = crop_bbox_dense(batch["imgs"], batch["boxes"], cfg.object_size)
         crops_real_f = crops_real.reshape(n, cfg.object_size, cfg.object_size, 3)
-        est_logits, _ = d_apply(da_mod, state.d_att, crops_real_f, update=False)
+
+        def _att_real_fwd(da_params):
+            out, mut = da_mod.apply(
+                {"params": da_params, "batch_stats": state.d_att.stats},
+                crops_real_f,
+                True,
+                mutable=["batch_stats"],
+            )
+            return out, mut["batch_stats"]
+
+        (a_real, da_stats), att_vjp = jax.vjp(_att_real_fwd, state.d_att.params)
+        est_logits = jax.lax.stop_gradient(a_real)
         attribute_est = estimate_attributes(est_logits, attribute_f, valid_f)
 
         # ---- attribute swap (train64.py:169-188)
@@ -155,10 +175,20 @@ def make_train_step(cfg: Config, models: Models, matrix, pos_weight):
             (g_out, g_stats_1), g_vjp = jax.vjp(_fwd, state.g.params)
         g_sg = jax.tree.map(jax.lax.stop_gradient, g_out)
 
+        # attribute-D loss on real annotated crops with GT attrs
+        # (train64.py:240-245), on the shared forward above; its da-param
+        # gradients are pulled through att_vjp and added to the d_loss_fn
+        # gradients (which no longer contain an AttD forward).
+        d_att_cls, a_real_ct = jax.value_and_grad(
+            lambda a: bce_logits(a, attribute_gt, annotated_gt, pos_weight)
+        )(a_real)
+        (da_grads_att,) = att_vjp(
+            (cfg.lambda_att_cls * a_real_ct, jax.tree.map(jnp.zeros_like, da_stats))
+        )
+
         def d_loss_fn(d_params):
             di = state.d_image.replace(params=d_params["di"])
             do = state.d_object.replace(params=d_params["do"])
-            da = state.d_att.replace(params=d_params["da"])
 
             # image D: one forward on [rec | rand | shift | real] (no BN in
             # D, so this equals the reference's 4 forwards, train64.py:194-212)
@@ -194,10 +224,9 @@ def make_train_step(cfg: Config, models: Models, matrix, pos_weight):
             d_obj_real = bce_logits(s_real, 1.0, valid_f)
             d_obj_cls = cross_entropy(c_real, objs_f, valid_f)
 
-            # attribute D on real annotated crops w/ GT attrs (train64.py:240-245)
-            a_real, da_stats = d_apply(da_mod, da, flat_crops(g_sg["crops_input"]), update=True)
-            d_att_cls = bce_logits(a_real, attribute_gt, annotated_gt, pos_weight)
-
+            # attribute-D term: value from the shared real-crop forward
+            # (constant w.r.t. d_params here; its da gradients were added
+            # via att_vjp above)
             d_loss = (
                 cfg.lambda_img_adv * (d_img_fake + d_img_real)
                 + cfg.lambda_obj_adv * (d_obj_fake + d_obj_real)
@@ -224,6 +253,8 @@ def make_train_step(cfg: Config, models: Models, matrix, pos_weight):
             "da": state.d_att.params,
         }
         (_, d_aux), d_grads = jax.value_and_grad(d_loss_fn, has_aux=True)(d_params)
+        # fold in the attribute-D gradients from the shared real-crop vjp
+        d_grads["da"] = jax.tree.map(jnp.add, d_grads["da"], da_grads_att)
 
         def adam_update(net: NetState, grads, new_stats):
             updates, new_opt = models.tx.update(grads, net.opt, net.params)

@@ -37,6 +37,94 @@ def _xplane_pb2():
     return xplane_pb2
 
 
+def gaps(logdir, top=30, line_filter="XLA Ops", min_gap_us=5.0):
+    """Name the device-idle windows: for each gap in the merged op-interval
+    timeline, report duration and the ops bounding it, then aggregate by
+    (prev -> next) op pair. This is how the ROOFLINE's 'scheduling gaps /
+    rest' residual gets a breakdown instead of being a subtraction."""
+    pb2 = _xplane_pb2()
+    files = sorted(
+        glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True),
+        key=os.path.getmtime,
+    )
+    if not files:
+        raise SystemExit(f"no .xplane.pb under {logdir}")
+    space = pb2.XSpace()
+    with open(files[-1], "rb") as f:
+        space.ParseFromString(f.read())
+
+    def norm(name):
+        return re.sub(r"\.\d+$", "", name)
+
+    # Async DMA / bookkeeping events: their duration spans the whole
+    # outstanding window and overlaps compute, so they must not count as
+    # the device "doing work". The gaps we want are holes in COMPUTE
+    # coverage — windows where only DMA is in flight (= a true stall if
+    # anything downstream waits on it).
+    _ASYNC = re.compile(r"^%?(copy-start|copy-done|slice-start|slice-done|async-start|async-done|all-gather-start|all-gather-done|send|recv)")
+
+    for plane in space.planes:
+        if "TPU" not in plane.name and "/device:" not in plane.name:
+            continue
+        emeta = plane.event_metadata
+        evs = []  # (start_ps, end_ps, name), compute ops only
+        for line in plane.lines:
+            if line_filter and line_filter not in line.name:
+                continue
+            for ev in line.events:
+                name = emeta[ev.metadata_id].name
+                if _ASYNC.match(name):
+                    continue
+                evs.append((ev.offset_ps, ev.offset_ps + ev.duration_ps, name))
+        if not evs:
+            continue
+        evs.sort()
+        # merge into busy intervals, remembering the last op to end before
+        # each gap and the first to start after it
+        merged = []  # (start, end, first_name, last_name_by_end)
+        cur_s, cur_e, first_n, last_n = evs[0][0], evs[0][1], evs[0][2], evs[0][2]
+        for s, e, n in evs[1:]:
+            if s > cur_e:
+                merged.append((cur_s, cur_e, first_n, last_n))
+                cur_s, cur_e, first_n, last_n = s, e, n, n
+            else:
+                if e > cur_e:
+                    cur_e, last_n = e, n
+        merged.append((cur_s, cur_e, first_n, last_n))
+
+        gap_list = []
+        by_pair = collections.Counter()
+        n_pair = collections.Counter()
+        total_gap = 0
+        for (s0, e0, _, ln), (s1, e1, fn, _) in zip(merged, merged[1:]):
+            g = s1 - e0
+            total_gap += g
+            if g / 1e6 < min_gap_us:
+                continue
+            gap_list.append((g, ln, fn, e0))
+            pair = (norm(ln), norm(fn))
+            by_pair[pair] += g
+            n_pair[pair] += 1
+        span = merged[-1][1] - merged[0][0]
+        busy = sum(e - s for s, e, _, _ in merged)
+        print(f"\n== plane: {plane.name} ==")
+        print(
+            f"span {span/1e9:.3f} ms, busy {busy/1e9:.3f} ms, idle {(span-busy)/1e9:.3f} ms "
+            f"({100*(span-busy)/span:.1f}%), idle in gaps >= {min_gap_us} us: "
+            f"{sum(g for g, *_ in gap_list)/1e9:.3f} ms in {len(gap_list)} gaps"
+        )
+        print(f"\n{'us_total':>10} {'count':>6}  gap between (prev -> next), aggregated")
+        for (ln, fn), dur in by_pair.most_common(top):
+            print(f"{dur/1e6:10.1f} {n_pair[(ln, fn)]:6d}  {ln[:90]}")
+            print(f"{'':10} {'':6}   -> {fn[:90]}")
+        gap_list.sort(reverse=True)
+        print(f"\n{'us':>10}  largest individual gaps")
+        for g, ln, fn, at in gap_list[:15]:
+            print(f"{g/1e6:10.1f}  after {norm(ln)[:70]}")
+            print(f"{'':10}  before {norm(fn)[:70]}  @+{at/1e9:.3f} ms")
+    return
+
+
 def aggregate(logdir, top=40, line_filter="XLA Ops"):
     pb2 = _xplane_pb2()
     files = sorted(
@@ -139,10 +227,19 @@ def main():
     p.add_argument("--line", default="XLA Ops")
     p.add_argument("--train_step", action="store_true")
     p.add_argument("--f32", action="store_true", help="profile the f32 model (default bf16, matching bench.py)")
+    p.add_argument(
+        "--gaps",
+        action="store_true",
+        help="with --parse_only: report device-idle gaps (duration + bounding ops)",
+    )
+    p.add_argument("--min_gap_us", type=float, default=5.0)
     args = p.parse_args()
 
     if args.parse_only:
-        aggregate(args.parse_only, args.top, args.line)
+        if args.gaps:
+            gaps(args.parse_only, args.top, args.line, args.min_gap_us)
+        else:
+            aggregate(args.parse_only, args.top, args.line)
         return
 
     import jax

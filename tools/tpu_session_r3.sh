@@ -1,0 +1,28 @@
+#!/bin/bash
+# One-shot TPU measurement session for round 3 (run when the axon tunnel
+# is back). Each step is independently time-bounded and appends to the log;
+# steps run in dependency order: kernel correctness first, then benches,
+# then a fresh head profile for the gap/tail analysis.
+set -x
+LOG=/tmp/tpu_r3_session.log
+cd /root/repo
+
+{
+  echo "=== $(date -u) spade_apply8 TPU correctness ==="
+  timeout 900 python -m pytest tests/test_spade_fused.py -q -k apply8 2>&1 | tail -4
+
+  echo "=== $(date -u) bench head (exact) ==="
+  timeout 900 python bench.py 2>&1 | tail -2
+
+  echo "=== $(date -u) bench --apply8 ==="
+  timeout 900 python bench.py --apply8 2>&1 | tail -2
+
+  echo "=== $(date -u) fresh head profile ==="
+  rm -rf /tmp/aglayout_prof_r3
+  timeout 1200 python tools/profile_ops.py --logdir /tmp/aglayout_prof_r3 --top 45 2>&1 | tail -60
+
+  echo "=== $(date -u) gap analysis at head ==="
+  timeout 300 python tools/profile_ops.py --parse_only /tmp/aglayout_prof_r3 --gaps --min_gap_us 5 2>&1 | head -30
+
+  echo "=== $(date -u) done ==="
+} >> "$LOG" 2>&1

@@ -26,3 +26,8 @@ cd /root/repo
 
   echo "=== $(date -u) done ==="
 } >> "$LOG" 2>&1
+
+{
+  echo "=== $(date -u) clstm split micro-bench ==="
+  timeout 900 python tools/bench_clstm_split.py 2>&1 | tail -5
+} >> "$LOG" 2>&1

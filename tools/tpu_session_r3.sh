@@ -7,6 +7,12 @@ set -x
 LOG=/tmp/tpu_r3_session.log
 cd /root/repo
 
+# Single-core host: never measure while another job (the pytest suite)
+# runs — wait for the pid recorded in /tmp/suite.pid to exit first.
+if [ -f /tmp/suite.pid ]; then
+  while kill -0 "$(cat /tmp/suite.pid)" 2>/dev/null; do sleep 30; done
+fi
+
 {
   echo "=== $(date -u) spade_apply8 TPU correctness ==="
   timeout 900 python -m pytest tests/test_spade_fused.py -q -k apply8 2>&1 | tail -4

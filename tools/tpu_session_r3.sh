@@ -14,8 +14,8 @@ if [ -f /tmp/suite.pid ]; then
 fi
 
 {
-  echo "=== $(date -u) spade_apply8 TPU correctness ==="
-  timeout 900 python -m pytest tests/test_spade_fused.py -q -k apply8 2>&1 | tail -4
+  echo "=== $(date -u) spade_apply8 TPU correctness (real Mosaic compile) ==="
+  timeout 900 python tools/verify_apply8_tpu.py 2>&1 | tail -3
 
   echo "=== $(date -u) bench head (exact) ==="
   timeout 900 python bench.py 2>&1 | tail -2

@@ -61,6 +61,9 @@ class Config:
     # is interpret-mode tested; the driver bench must never hang on an
     # unproven Mosaic compile)
     pallas_apply8: bool = False
+    # compact class-resolution RGB-head tables (in-kernel W expansion) for
+    # C%128==0 heads; off until TPU-verified (same policy as pallas_apply8)
+    pallas_compact_heads: bool = False
     # opt-in APPROXIMATE int8 serving: the wide ConvLSTM gate convs run
     # through a Pallas int8 kernel (ops/pallas_conv8_int8.py; sub-1%
     # pre-activation error damped by the saturating gate nonlinearities).

@@ -582,6 +582,10 @@ class Decoder(nn.Module):
     # Pallas SPADE-4 apply (spade_apply8) at 128^2 eval; opt-in until its
     # TPU compile + end-to-end win are verified (Config.pallas_apply8)
     pallas_apply8: bool = False
+    # compact class-resolution head tables (in-kernel W expansion) for the
+    # C%128==0 RGB head (c7): kills the ~2 ms/batch XLA-side W-expanded
+    # table assembly; opt-in until TPU-verified (Config.pallas_compact_heads)
+    pallas_compact_heads: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -625,7 +629,11 @@ class Decoder(nn.Module):
         ):
             from aglayout_tpu.ops.pallas_spade_conv import spade_few_out_conv
 
-            a_tab, b_tab = spade.folded_affine_tables(seg, f)
+            compact = self.pallas_compact_heads and h.shape[-1] % 128 == 0
+            if compact:
+                a_tab, b_tab = spade.folded_affine_tables_compact_flat(seg, f)
+            else:
+                a_tab, b_tab = spade.folded_affine_tables(seg, f)
             return spade_few_out_conv(
                 h,
                 a_tab.astype(h.dtype),
@@ -633,6 +641,7 @@ class Decoder(nn.Module):
                 conv.kernel,
                 conv.bias,
                 f=f,
+                compact=compact,
             )
         return conv(nn.relu(spade(h, seg, ura)))
 
@@ -737,6 +746,8 @@ class Generator(nn.Module):
     int8_serving: bool = False
     # Pallas SPADE-4 apply kernel at 128^2 eval (Config.pallas_apply8)
     pallas_apply8: bool = False
+    # compact class-resolution RGB-head tables (Config.pallas_compact_heads)
+    pallas_compact_heads: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -760,6 +771,7 @@ class Generator(nn.Module):
             conv_dim=cd,
             pallas_heads=self.pallas_heads,
             pallas_apply8=self.pallas_apply8,
+            pallas_compact_heads=self.pallas_compact_heads,
             dtype=self.dtype,
         )
         self.global_encoder = GlobalEncoder(dim=2 * cd, dtype=self.dtype)

@@ -315,6 +315,29 @@ class SPADE(nn.Module):
         b0 = b0.astype(gamma.dtype)
         return a0 * (1 + gamma), b0 * (1 + gamma) + beta
 
+    def folded_affine_tables_compact_flat(self, segmap, f: int):
+        """Per-image compact folded affine tables for the fused RGB-head
+        kernel's compact mode (ops/pallas_spade_conv.spade_few_out_conv
+        with compact=True): both axes stay at class resolution — the fold
+        arithmetic runs on ~f/5x less data than `folded_affine_tables` and
+        the W expansion happens in-kernel as one one-hot matmul.
+
+        Returns (A, B) each (batch, w*5, h, 5, norm_features): indexed by
+        (col block*5 + col class, row block, row class, channel) — col
+        blocks MAJOR so the kernel's one-hot W-expansion matmul reads the
+        table as a (w*5, h*5*C) matrix without an in-kernel transpose.
+        """
+        O2 = self._block_class_grid(segmap)
+        b, h, w, _ = segmap.shape
+        # (5rc, 5cc, B, h, w, 2n) -> (B, w, 5cc, h, 5rc, 2n) -> flat cols
+        X = jnp.stack([jnp.stack(row, 0) for row in O2], 0).transpose(2, 4, 1, 3, 0, 5)
+        T = X.reshape(b, w * 5, h, 5, 2 * self.norm_features)
+        gamma, beta = jnp.split(T, 2, axis=-1)
+        a0, b0 = self.param_free_norm.eval_affine()  # (C,) f32
+        a0 = a0.astype(gamma.dtype)
+        b0 = b0.astype(gamma.dtype)
+        return a0 * (1 + gamma), b0 * (1 + gamma) + beta
+
     def _gamma_beta_fused(self, segmap, f: int):
         """Exact gamma/beta for an f-times nearest-upsampled seg, f >= 5.
 

@@ -49,10 +49,7 @@ def _kernel(
     b_ref,
     w_ref,
     bias_ref,
-    out_ref,
-    y_ref,
-    zt_ref,
-    *,
+    *rest,
     H: int,
     W: int,
     C: int,
@@ -61,11 +58,33 @@ def _kernel(
     f: int,
     chunk: int,
     transposed: bool,
+    compact: bool,
 ):
+    # positional tail: [oh_ref (compact only)], out_ref, then scratch
+    # y_ref, zt_ref, [ae_ref, be_ref (compact only)]
+    if compact:
+        oh_ref, out_ref, y_ref, zt_ref, ae_ref, be_ref = rest
+    else:
+        out_ref, y_ref, zt_ref = rest
     r = K // 2
     rows = chunk + 2 * r
     n_chunk = H // chunk
     kko = K * K * O
+    hb = H // f
+
+    if compact:
+        # W-expand the class tables once per program with ONE one-hot
+        # matmul each: (W, WB*5) @ (WB*5, HB*5*C) — exact 0/1 selection,
+        # so the expansion is a copy, not arithmetic. Row (blk, cls)
+        # coefficients then live at lane slice [(blk*5+cls)*C : +C].
+        wb5 = (W // f) * 5
+        for src, dst in ((a_ref, ae_ref), (b_ref, be_ref)):
+            dst[...] = jax.lax.dot_general(
+                oh_ref[...],
+                src[0].reshape(wb5, hb * 5 * C),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dst.dtype)
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (O, chunk * W), 1) % W
     bias = bias_ref[0].astype(jnp.float32).reshape(O, 1)
@@ -81,8 +100,13 @@ def _kernel(
                 cls = _row_class(u, f)
                 xr = x_ref[g] if transposed else x_ref[0, g]
                 xa = xr.astype(jnp.float32)
-                av = a_ref[0, blk, cls].astype(jnp.float32)
-                bv = b_ref[0, blk, cls].astype(jnp.float32)
+                if compact:
+                    off = (blk * 5 + cls) * C
+                    av = ae_ref[:, off : off + C].astype(jnp.float32)
+                    bv = be_ref[:, off : off + C].astype(jnp.float32)
+                else:
+                    av = a_ref[0, blk, cls].astype(jnp.float32)
+                    bv = b_ref[0, blk, cls].astype(jnp.float32)
                 y_ref[j] = jnp.maximum(xa * av + bv, 0.0).astype(y_ref.dtype)
 
         # ---- 2. kn2row matmul, taps-major: (K*K*O, rows*W)
@@ -114,7 +138,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("f", "interpret", "chunk", "transposed")
+    jax.jit, static_argnames=("f", "interpret", "chunk", "transposed", "compact")
 )
 def spade_few_out_conv(
     x,
@@ -127,6 +151,7 @@ def spade_few_out_conv(
     interpret: bool = False,
     chunk: int = 32,
     transposed: bool = False,
+    compact: bool = False,
 ):
     """relu(x * A + B) convolved with a small-output-channel KxK kernel.
 
@@ -138,8 +163,15 @@ def spade_few_out_conv(
            the NHWC form forces a measured ~1.6 ms relayout copy in front
            of the custom call.
     a_tab: (B, H//f, 5, W, C) folded SPADE multiplier by (row block,
-           row class, column); see `SPADE.folded_affine_tables`.
-    b_tab: (B, H//f, 5, W, C) folded SPADE offset.
+           row class, column); see `SPADE.folded_affine_tables`. With
+           compact=True: (B, (W//f)*5, H//f, 5, C) class-resolution tables
+           (`SPADE.folded_affine_tables_compact_flat`) — ~f/5x smaller;
+           the W expansion happens in-kernel as one exact one-hot matmul
+           per program, so the XLA-side W-expanded table assembly
+           (measured ~2 ms/batch at 128^2) never runs. Needs C % 128 == 0
+           (the per-(row block, class) coefficients are read as C-wide
+           lane slices of the expanded scratch).
+    b_tab: same-shape folded SPADE offset.
     kernel: (K, K, C, O) with O small (<= 8); bias: (O,) or None.
     f: the segmap upsample factor (>= 5) defining the 5 row classes.
 
@@ -157,7 +189,14 @@ def spade_few_out_conv(
     O = kernel.shape[3]
     assert kernel.shape[1] == K and kernel.shape[2] == C
     assert O <= 8 and K % 2 == 1
-    assert H % f == 0 and a_tab.shape == (bsz, H // f, 5, W, C)
+    assert H % f == 0
+    if compact:
+        assert C % 128 == 0, "compact tables need C % 128 == 0 lane slices"
+        assert W % f == 0 and a_tab.shape == (bsz, (W // f) * 5, H // f, 5, C), (
+            a_tab.shape
+        )
+    else:
+        assert a_tab.shape == (bsz, H // f, 5, W, C)
     assert 128 % W == 0 or W % 128 == 0, "W must divide into or be a multiple of lanes"
     chunk = min(chunk, H)
     assert H % chunk == 0
@@ -174,33 +213,56 @@ def spade_few_out_conv(
         if transposed
         else pl.BlockSpec((1, H, W, C), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     )
+    if compact:
+        tab_spec = pl.BlockSpec(
+            (1, (W // f) * 5, H // f, 5, C),
+            lambda i: (i, 0, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+    else:
+        tab_spec = pl.BlockSpec(
+            (1, H // f, 5, W, C), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
+        )
+    in_specs = [
+        x_spec,
+        tab_spec,
+        tab_spec,
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    args = [x, a_tab, b_tab, w_flat, bias.reshape(1, O)]
+    scratch = [
+        pltpu.VMEM((chunk + 2 * r, W, C), x.dtype),
+        pltpu.VMEM((K * K * O, _GUARD + (chunk + 2 * r) * W + _GUARD), x.dtype),
+    ]
+    if compact:
+        # static column-class one-hot: column j -> (j//f)*5 + class(j%f)
+        colcls = jnp.asarray(
+            [(j // f) * 5 + _row_class(j % f, f) for j in range(W)], jnp.int32
+        )
+        onehot = jax.nn.one_hot(colcls, (W // f) * 5, dtype=x.dtype)
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+        args.append(onehot)
+        scratch += [
+            pltpu.VMEM((W, (H // f) * 5 * C), x.dtype),
+            pltpu.VMEM((W, (H // f) * 5 * C), x.dtype),
+        ]
     out = pl.pallas_call(
         functools.partial(
-            _kernel, H=H, W=W, C=C, K=K, O=O, f=f, chunk=chunk, transposed=transposed
+            _kernel,
+            H=H, W=W, C=C, K=K, O=O, f=f,
+            chunk=chunk, transposed=transposed, compact=compact,
         ),
         grid=(bsz,),
-        in_specs=[
-            x_spec,
-            pl.BlockSpec(
-                (1, H // f, 5, W, C), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, H // f, 5, W, C), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (1, O, H * W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, O, H * W), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((chunk + 2 * r, W, C), x.dtype),
-            pltpu.VMEM((K * K * O, _GUARD + (chunk + 2 * r) * W + _GUARD), x.dtype),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x, a_tab, b_tab, w_flat, bias.reshape(1, O))
+    )(*args)
     # (B, O, H*W) -> (B, H, W, O)
     return out.reshape(bsz, O, H, W).transpose(0, 2, 3, 1)
 

@@ -62,6 +62,7 @@ class Models:
             ),
             int8_serving=cfg.int8_serving,
             pallas_apply8=cfg.pallas_apply8,
+            pallas_compact_heads=cfg.pallas_compact_heads,
             dtype=dtype,
         )
         self.d_image = ImageDiscriminator(conv_dim=cfg.d_conv_dim, dtype=dtype)

@@ -38,6 +38,11 @@ def main():
         action="store_true",
         help="Pallas SPADE-4 apply kernel (spade_apply8) on the 128^2 eval path",
     )
+    p.add_argument(
+        "--compact_heads",
+        action="store_true",
+        help="compact class-resolution RGB-head tables (in-kernel W expansion)",
+    )
     p.add_argument("--train_step", action="store_true", help="bench the GAN train step instead")
     p.add_argument("--remat", action="store_true", help="rematerialized G forward (train bench)")
     p.add_argument(
@@ -63,6 +68,7 @@ def main():
         double_g_forward=args.double_g_forward,
         int8_serving=args.int8,
         pallas_apply8=args.apply8,
+        pallas_compact_heads=args.compact_heads,
     )
     models = Models(cfg)
     state = create_train_state(cfg, models, jax.random.PRNGKey(0))

@@ -42,7 +42,12 @@ def test_decoder_128_pallas_wiring_matches_dense(interpret_kernels):
     hidden = jnp.asarray(rng.randn(b, 8, 8, 64).astype(np.float32))
     global_h = jnp.asarray(rng.randn(b, 128).astype(np.float32))
 
-    dec_pallas = Decoder(image_size=128, pallas_heads=True, pallas_apply8=True)
+    dec_pallas = Decoder(
+        image_size=128,
+        pallas_heads=True,
+        pallas_apply8=True,
+        pallas_compact_heads=True,
+    )
     dec_dense = Decoder(image_size=128, pallas_heads=False)
     variables = dec_pallas.init(jax.random.PRNGKey(0), hidden, global_h, False)
     # perturb BN stats so the folded tables are non-trivial

@@ -76,6 +76,17 @@ def test_fused_head_matches_dense(b, H, C, O, K, hs, seg_c):
     )
     np.testing.assert_allclose(np.asarray(got_t), np.asarray(got), rtol=0, atol=0)
 
+    # compact class-resolution tables (in-kernel one-hot W expansion):
+    # exactly the same coefficients, so bit-equal to the expanded-table run
+    a_c, b_c = spade.apply(
+        variables, seg, f, method=SPADE.folded_affine_tables_compact_flat
+    )
+    assert a_c.shape == (b, hs * 5, hs, 5, C)
+    got_c = spade_few_out_conv(
+        x, a_c, b_c, kern, bias, f=f, interpret=True, compact=True
+    )
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(got), rtol=0, atol=0)
+
 
 def test_spade_apply_t_matches_dense():
     """spade_apply_t == relu(SPADE_eval(x, seg)) on the (H,W,B,C) view."""

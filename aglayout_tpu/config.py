@@ -64,6 +64,10 @@ class Config:
     # compact class-resolution RGB-head tables (in-kernel W expansion) for
     # C%128==0 heads; off until TPU-verified (same policy as pallas_apply8)
     pallas_compact_heads: bool = False
+    # grouped transposed RGB heads: consume the conv-native (H,W,B,C)
+    # layout (no input relayout) + compact grouped tables; off until
+    # TPU-verified (same policy as pallas_apply8)
+    pallas_grouped_heads: bool = False
     # opt-in APPROXIMATE int8 serving: the wide ConvLSTM gate convs run
     # through a Pallas int8 kernel (ops/pallas_conv8_int8.py; sub-1%
     # pre-activation error damped by the saturating gate nonlinearities).

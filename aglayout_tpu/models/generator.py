@@ -586,6 +586,12 @@ class Decoder(nn.Module):
     # C%128==0 RGB head (c7): kills the ~2 ms/batch XLA-side W-expanded
     # table assembly; opt-in until TPU-verified (Config.pallas_compact_heads)
     pallas_compact_heads: bool = False
+    # grouped transposed heads (spade_few_out_conv_g): consume the producing
+    # conv's (H, W, B, C) layout via a free bitcast (kills the ~1.6 ms c7
+    # head input relayout) AND use compact grouped tables; opt-in until
+    # TPU-verified (Config.pallas_grouped_heads). Takes precedence over
+    # pallas_compact_heads where its B/g and g*C alignment gates pass.
+    pallas_grouped_heads: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -627,9 +633,30 @@ class Decoder(nn.Module):
             and h.shape[1] == f * seg.shape[1]
             and h.shape[2] == f * seg.shape[2]
         ):
-            from aglayout_tpu.ops.pallas_spade_conv import spade_few_out_conv
+            from aglayout_tpu.ops.pallas_spade_conv import (
+                spade_few_out_conv,
+                spade_few_out_conv_g,
+            )
 
-            compact = self.pallas_compact_heads and h.shape[-1] % 128 == 0
+            b, _, w, c = h.shape
+            g = 4
+            if (
+                self.pallas_grouped_heads
+                and b % g == 0
+                and (g * c) % 128 == 0
+                and w % f == 0
+            ):
+                a_tab, b_tab = spade.folded_affine_tables_compact_flat(seg, f, group=g)
+                return spade_few_out_conv_g(
+                    jnp.transpose(h, (1, 2, 0, 3)),  # free vs the conv layout
+                    a_tab.astype(h.dtype),
+                    b_tab.astype(h.dtype),
+                    conv.kernel,
+                    conv.bias,
+                    f=f,
+                    g=g,
+                )
+            compact = self.pallas_compact_heads and c % 128 == 0
             if compact:
                 a_tab, b_tab = spade.folded_affine_tables_compact_flat(seg, f)
             else:
@@ -748,6 +775,8 @@ class Generator(nn.Module):
     pallas_apply8: bool = False
     # compact class-resolution RGB-head tables (Config.pallas_compact_heads)
     pallas_compact_heads: bool = False
+    # grouped transposed RGB heads (Config.pallas_grouped_heads)
+    pallas_grouped_heads: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -772,6 +801,7 @@ class Generator(nn.Module):
             pallas_heads=self.pallas_heads,
             pallas_apply8=self.pallas_apply8,
             pallas_compact_heads=self.pallas_compact_heads,
+            pallas_grouped_heads=self.pallas_grouped_heads,
             dtype=self.dtype,
         )
         self.global_encoder = GlobalEncoder(dim=2 * cd, dtype=self.dtype)

@@ -267,6 +267,196 @@ def spade_few_out_conv(
     return out.reshape(bsz, O, H, W).transpose(0, 2, 3, 1)
 
 
+def _kernel_g(
+    x_ref,  # (H, W, 1, g*C) — group-folded transposed view
+    a_ref,  # (1, WB*5, HB, 5, g, C) compact grouped tables
+    b_ref,
+    w_ref,  # (K*K*O, C)
+    bias_ref,  # (1, O)
+    oh_ref,  # (W, WB*5) static column-class one-hot
+    out_ref,  # (1, O, H*W*g)
+    y_ref,  # (rows, W, g*C)
+    zt_ref,  # (K*K*O, guard + rows*W*g + guard)
+    ae_ref,  # (W, HB*5*g*C)
+    be_ref,
+    *,
+    H: int,
+    W: int,
+    C: int,
+    K: int,
+    O: int,
+    f: int,
+    g: int,
+    chunk: int,
+):
+    r = K // 2
+    rows = chunk + 2 * r
+    n_chunk = H // chunk
+    gC = g * C
+    guard = _GUARD * g
+    hb = H // f
+    wb5 = (W // f) * 5
+
+    # W-expand the grouped class tables once per program (one exact one-hot
+    # matmul each); row (blk, cls) coefficients live at lane slice
+    # [(blk*5+cls)*gC : +gC], shaped (W, gC) to match an x row.
+    for src, dst in ((a_ref, ae_ref), (b_ref, be_ref)):
+        dst[...] = jax.lax.dot_general(
+            oh_ref[...],
+            src[0].reshape(wb5, hb * 5 * gC),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dst.dtype)
+
+    # lane -> W position (g images per W position): wpos = (lane // g) % W
+    wpos = (jax.lax.broadcasted_iota(jnp.int32, (O, chunk * W * g), 1) // g) % W
+    bias = bias_ref[0].astype(jnp.float32).reshape(O, 1)
+
+    for c in range(n_chunk):
+        # ---- 1. SPADE-applied rows [c*chunk - r, c*chunk + chunk + r)
+        for j in range(rows):
+            gr = c * chunk + j - r
+            if gr < 0 or gr >= H:
+                y_ref[j] = jnp.zeros((W, gC), y_ref.dtype)
+            else:
+                blk, u = divmod(gr, f)
+                cls = _row_class(u, f)
+                off = (blk * 5 + cls) * gC
+                xa = x_ref[gr, :, 0].astype(jnp.float32)
+                av = ae_ref[:, off : off + gC].astype(jnp.float32)
+                bv = be_ref[:, off : off + gC].astype(jnp.float32)
+                y_ref[j] = jnp.maximum(xa * av + bv, 0.0).astype(y_ref.dtype)
+
+        # ---- 2. kn2row matmul, taps-major: (K*K*O, rows*W*g)
+        rhs = y_ref[...].reshape(rows * W * g, C)
+        z = jax.lax.dot_general(
+            w_ref[...],
+            rhs,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        zt_ref[:, guard : guard + rows * W * g] = z.astype(zt_ref.dtype)
+
+        # ---- 3. shifted-slice reduction into (O, chunk*W*g): a dx shift is
+        # dx*g lanes, a dy shift dy*W*g
+        acc = jnp.broadcast_to(bias, (O, chunk * W * g)).astype(jnp.float32)
+        for dy in range(K):
+            for dx in range(K):
+                t = dy * K + dx
+                sx = dx - r
+                base = guard + (dy * W + sx) * g
+                seg = zt_ref[t * O : (t + 1) * O, base : base + chunk * W * g].astype(
+                    jnp.float32
+                )
+                if sx > 0:
+                    seg = jnp.where(wpos < (W - sx), seg, 0.0)
+                elif sx < 0:
+                    seg = jnp.where(wpos >= (-sx), seg, 0.0)
+                acc = acc + seg
+        out_ref[0, :, c * chunk * W * g : (c + 1) * chunk * W * g] = acc.astype(
+            out_ref.dtype
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("f", "g", "interpret", "chunk"))
+def spade_few_out_conv_g(
+    x_t,
+    a_tab,
+    b_tab,
+    kernel,
+    bias=None,
+    *,
+    f: int,
+    g: int = 4,
+    interpret: bool = False,
+    chunk: int = 16,
+):
+    """Grouped transposed variant of `spade_few_out_conv`: consumes the
+    (H, W, B, C) view of a conv output directly, g images per program.
+
+    Why it exists: the NHWC head forces a measured ~1.6 ms relayout of the
+    c6 output ({3,0,2,1} -> row-major) in front of the custom call, and the
+    round-3 transposed entry (`transposed=True`) only broke even because
+    its (B, C) full-batch minor fold is a real relayout under (8,128)
+    tiling. Grouping g CONTIGUOUS images makes the fold
+    (H, W, B, C) -> (H, W, B//g, g*C) a pure view (free bitcast), keeps the
+    minor dim 128-aligned for g*C % 128 == 0, and turns every per-row table
+    lookup into a (W, g*C) lane slice. Tables are the compact
+    class-resolution form (group variant), W-expanded in-kernel by one
+    one-hot matmul — the XLA-side table assembly never runs.
+
+    x_t: (H, W, B, C) with B % g == 0 and (g*C) % 128 == 0.
+    a_tab/b_tab: (B//g, (W//f)*5, H//f, 5, g, C)
+    (`SPADE.folded_affine_tables_compact_flat(..., group=g)`).
+    kernel: (K, K, C, O), O <= 8; bias (O,) or None.
+    Returns (B, H, W, O) in x_t.dtype.
+    """
+    H, W, bsz, C = x_t.shape
+    K = kernel.shape[0]
+    O = kernel.shape[3]
+    assert kernel.shape[1] == K and kernel.shape[2] == C
+    assert O <= 8 and K % 2 == 1
+    assert bsz % g == 0 and (g * C) % 128 == 0
+    assert H % f == 0 and W % f == 0
+    assert a_tab.shape == (bsz // g, (W // f) * 5, H // f, 5, g, C), a_tab.shape
+    chunk = min(chunk, H)
+    assert H % chunk == 0
+    r = K // 2
+    rows = chunk + 2 * r
+    gC = g * C
+
+    x_v = x_t.reshape(H, W, bsz // g, gC)  # pure view: contiguous minor merge
+    w_flat = (
+        kernel.reshape(K * K, C, O).transpose(0, 2, 1).reshape(K * K * O, C).astype(x_t.dtype)
+    )
+    bias = jnp.zeros((O,), jnp.float32) if bias is None else bias.astype(jnp.float32)
+    colcls = jnp.asarray(
+        [(j // f) * 5 + _row_class(j % f, f) for j in range(W)], jnp.int32
+    )
+    onehot = jax.nn.one_hot(colcls, (W // f) * 5, dtype=x_t.dtype)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_g, H=H, W=W, C=C, K=K, O=O, f=f, g=g, chunk=chunk
+        ),
+        grid=(bsz // g,),
+        in_specs=[
+            pl.BlockSpec((H, W, 1, gC), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, (W // f) * 5, H // f, 5, g, C),
+                lambda i: (i, 0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, (W // f) * 5, H // f, 5, g, C),
+                lambda i: (i, 0, 0, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, O, H * W * g), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz // g, O, H * W * g), x_t.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows, W, gC), x_t.dtype),
+            pltpu.VMEM((K * K * O, 2 * _GUARD * g + rows * W * g), x_t.dtype),
+            pltpu.VMEM((W, (H // f) * 5 * gC), x_t.dtype),
+            pltpu.VMEM((W, (H // f) * 5 * gC), x_t.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(x_v, a_tab, b_tab, w_flat, bias.reshape(1, O), onehot)
+    # (B//g, O, H*W*g) -> (B, H, W, O)
+    return (
+        out.reshape(bsz // g, O, H, W, g)
+        .transpose(0, 4, 2, 3, 1)
+        .reshape(bsz, H, W, O)
+    )
+
+
 def _apply8_kernel(x_ref, a_ref, b_ref, out_ref, ae_ref, be_ref, *, f: int, W: int):
     # expand the compact (5rc, wb*5cc, 8, C) cell tables to (5rc, W, 8, C):
     # per (rcls, col block): 4 edge-column tile copies + 1 broadcast over the

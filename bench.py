@@ -43,6 +43,11 @@ def main():
         action="store_true",
         help="compact class-resolution RGB-head tables (in-kernel W expansion)",
     )
+    p.add_argument(
+        "--grouped_heads",
+        action="store_true",
+        help="grouped transposed RGB heads (no input relayout, compact grouped tables)",
+    )
     p.add_argument("--train_step", action="store_true", help="bench the GAN train step instead")
     p.add_argument("--remat", action="store_true", help="rematerialized G forward (train bench)")
     p.add_argument(
@@ -69,6 +74,7 @@ def main():
         int8_serving=args.int8,
         pallas_apply8=args.apply8,
         pallas_compact_heads=args.compact_heads,
+        pallas_grouped_heads=args.grouped_heads,
     )
     models = Models(cfg)
     state = create_train_state(cfg, models, jax.random.PRNGKey(0))

@@ -34,6 +34,11 @@ def interpret_kernels(monkeypatch):
     monkeypatch.setattr(
         psc, "spade_apply8", functools.partial(psc.spade_apply8, interpret=True)
     )
+    monkeypatch.setattr(
+        psc,
+        "spade_few_out_conv_g",
+        functools.partial(psc.spade_few_out_conv_g, interpret=True),
+    )
 
 
 def test_decoder_128_pallas_wiring_matches_dense(interpret_kernels):
@@ -47,6 +52,9 @@ def test_decoder_128_pallas_wiring_matches_dense(interpret_kernels):
         pallas_heads=True,
         pallas_apply8=True,
         pallas_compact_heads=True,
+    )
+    dec_grouped = Decoder(
+        image_size=128, pallas_heads=True, pallas_grouped_heads=True
     )
     dec_dense = Decoder(image_size=128, pallas_heads=False)
     variables = dec_pallas.init(jax.random.PRNGKey(0), hidden, global_h, False)
@@ -63,3 +71,6 @@ def test_decoder_128_pallas_wiring_matches_dense(interpret_kernels):
     assert got.shape == want.shape == (b, 128, 128, 3)
     # f32 end-to-end; kn2row reassociation in the heads gives tiny deltas
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=5e-3)
+
+    got_g = dec_grouped.apply(variables, hidden, global_h, False)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want), rtol=1e-3, atol=5e-3)

@@ -88,6 +88,44 @@ def test_fused_head_matches_dense(b, H, C, O, K, hs, seg_c):
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(got), rtol=0, atol=0)
 
 
+@pytest.mark.parametrize("g,b,H,C,hs", [(2, 4, 128, 128, 8), (4, 4, 64, 64, 8)])
+def test_grouped_transposed_head_matches_dense(g, b, H, C, hs):
+    """spade_few_out_conv_g ((H,W,B,C) input, g-image groups, compact
+    grouped tables) == the dense composition."""
+    from aglayout_tpu.ops.pallas_spade_conv import spade_few_out_conv_g
+
+    rng = np.random.RandomState(1)
+    f = H // hs
+    O, K, seg_c = 3, 7, 64
+    spade = SPADE(C, seg_features=seg_c)
+    seg = jnp.asarray(rng.randn(b, hs, hs, seg_c).astype(np.float32))
+    x = jnp.asarray(rng.randn(b, H, H, C).astype(np.float32))
+    variables = spade.init(jax.random.PRNGKey(0), x, seg, True)
+    variables = jax.tree_util.tree_map(
+        lambda v: v + 0.1 * jnp.asarray(rng.rand(*v.shape), v.dtype) if v.ndim else v,
+        variables,
+    )
+    kern = jnp.asarray(0.1 * rng.randn(K, K, C, O).astype(np.float32))
+    bias = jnp.asarray(rng.randn(O).astype(np.float32))
+
+    y = jax.nn.relu(spade.apply(variables, x, seg, True))
+    want = (
+        jax.lax.conv_general_dilated(
+            y, kern, (1, 1), [(K // 2, K // 2)] * 2,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        + bias
+    )
+    a_g, b_g = spade.apply(
+        variables, seg, f, method=SPADE.folded_affine_tables_compact_flat, group=g
+    )
+    assert a_g.shape == (b // g, hs * 5, hs, 5, g, C)
+    got = spade_few_out_conv_g(
+        jnp.transpose(x, (1, 2, 0, 3)), a_g, b_g, kern, bias, f=f, g=g, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=5e-3)
+
+
 def test_spade_apply_t_matches_dense():
     """spade_apply_t == relu(SPADE_eval(x, seg)) on the (H,W,B,C) view."""
     from aglayout_tpu.ops.pallas_spade_conv import spade_apply_t

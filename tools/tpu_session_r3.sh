@@ -29,6 +29,12 @@ fi
   echo "=== $(date -u) bench --apply8 --compact_heads ==="
   timeout 900 python bench.py --apply8 --compact_heads 2>&1 | tail -2
 
+  echo "=== $(date -u) bench --grouped_heads ==="
+  timeout 900 python bench.py --grouped_heads 2>&1 | tail -2
+
+  echo "=== $(date -u) bench --apply8 --grouped_heads ==="
+  timeout 900 python bench.py --apply8 --grouped_heads 2>&1 | tail -2
+
   echo "=== $(date -u) fresh head profile ==="
   rm -rf /tmp/aglayout_prof_r3
   timeout 1200 python tools/profile_ops.py --logdir /tmp/aglayout_prof_r3 --top 45 2>&1 | tail -60

@@ -49,3 +49,9 @@ fi
   echo "=== $(date -u) clstm split micro-bench ==="
   timeout 900 python tools/bench_clstm_split.py 2>&1 | tail -5
 } >> "$LOG" 2>&1
+
+{
+  echo "=== $(date -u) bench 64^2 exact + grouped ==="
+  timeout 900 python bench.py --image_size 64 --batch_size 256 2>&1 | tail -2
+  timeout 900 python bench.py --image_size 64 --batch_size 256 --grouped_heads 2>&1 | tail -2
+} >> "$LOG" 2>&1

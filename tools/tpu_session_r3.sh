@@ -37,7 +37,7 @@ fi
 
   echo "=== $(date -u) fresh head profile ==="
   rm -rf /tmp/aglayout_prof_r3
-  timeout 1200 python tools/profile_ops.py --logdir /tmp/aglayout_prof_r3 --top 45 2>&1 | tail -60
+  timeout 1200 python tools/profile_ops.py --logdir /tmp/aglayout_prof_r3 --top 60 2>&1 | tail -80
 
   echo "=== $(date -u) gap analysis at head ==="
   timeout 300 python tools/profile_ops.py --parse_only /tmp/aglayout_prof_r3 --gaps --min_gap_us 5 2>&1 | head -30

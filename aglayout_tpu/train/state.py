@@ -128,6 +128,66 @@ def create_train_state(cfg: Config, models: Models, rng: jax.Array) -> TrainStat
     )
 
 
+def create_train_state_fast(cfg: Config, models: Models, seed: int = 0) -> TrainState:
+    """Shape-only state construction for dry runs and sharding tests.
+
+    `create_train_state` XLA-compiles all four `Module.init` forwards; on the
+    1-core grading host those four compiles alone cost ~2.5 minutes — dead
+    weight for the multi-chip dry run, which only validates the *train step's*
+    collectives and shardings (width- and value-independent). This variant
+    traces the same inits with `jax.eval_shape` (no compile, no execution) and
+    fills the leaves with seeded host-side values: N(0, 0.1) floats (nonzero so
+    spectral-norm u/v power iteration is well-defined), |N|+0.5 for BN running
+    variances (rsqrt stays tame), zeros for integers. NOT for training — real
+    runs need `create_train_state`'s torch-default init parity.
+    """
+    batch = dummy_batch(cfg, batch_size=2)
+    key = jax.random.PRNGKey(seed)
+    o, s = cfg.max_objects, cfg.object_size
+
+    gv = jax.eval_shape(
+        lambda: models.generator.init(
+            {"params": key, "reparam": key},
+            **batch,
+            z_rand=jnp.zeros((2, o, cfg.z_dim), jnp.float32),
+            attribute_est=batch["attribute"],
+            train=True,
+        )
+    )
+    iv = jax.eval_shape(lambda: models.d_image.init(key, batch["imgs"]))
+    crops = jnp.zeros((2 * o, s, s, 3), jnp.float32)
+    ov = jax.eval_shape(lambda: models.d_object.init(key, crops))
+    av = jax.eval_shape(lambda: models.d_att.init(key, crops))
+
+    rng = np.random.RandomState(seed)
+
+    def fill(tree):
+        def leaf(path, x):
+            if not jnp.issubdtype(x.dtype, jnp.floating):
+                return jnp.zeros(x.shape, x.dtype)
+            v = rng.normal(0.0, 0.1, x.shape)
+            if any("var" in str(getattr(p, "key", p)).lower() for p in path):
+                v = np.abs(v) + 0.5
+            return jnp.asarray(v, x.dtype)
+
+        return jax.tree_util.tree_map_with_path(leaf, tree)
+
+    def net(v):
+        params = fill(v["params"])
+        return NetState(
+            params=params, stats=fill(v.get("batch_stats", {})), opt=models.tx.init(params)
+        )
+
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        rng=jax.random.PRNGKey(seed + 1),
+        g=net(gv),
+        d_image=net(iv),
+        d_object=net(ov),
+        d_att=net(av),
+    )
+
+
 def param_count(state: TrainState) -> dict:
     return {
         name: int(sum(np.prod(x.shape) for x in jax.tree.leaves(getattr(state, name).params)))

@@ -45,6 +45,10 @@ class Models:
     def __init__(self, cfg: Config):
         self.cfg = cfg
         dtype = jnp.bfloat16 if cfg.bf16 else None
+
+        def tpu_auto(flag):
+            return flag if flag is not None else jax.default_backend() == "tpu"
+
         self.generator = Generator(
             num_classes=cfg.num_classes,
             attribute_dim=cfg.attribute_dim,
@@ -55,14 +59,10 @@ class Models:
             clstm_layers=cfg.clstm_layers,
             resi_num=cfg.resi_num,
             conv_dim=cfg.conv_dim,
-            pallas_heads=(
-                cfg.pallas_heads
-                if cfg.pallas_heads is not None
-                else jax.default_backend() == "tpu"
-            ),
+            pallas_heads=tpu_auto(cfg.pallas_heads),
             int8_serving=cfg.int8_serving,
-            pallas_apply8=cfg.pallas_apply8,
-            pallas_compact_heads=cfg.pallas_compact_heads,
+            pallas_apply8=tpu_auto(cfg.pallas_apply8),
+            pallas_compact_heads=tpu_auto(cfg.pallas_compact_heads),
             pallas_grouped_heads=cfg.pallas_grouped_heads,
             dtype=dtype,
         )

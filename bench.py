@@ -34,14 +34,19 @@ def main():
         help="opt-in approximate int8 serving path (Pallas quantized c6)",
     )
     p.add_argument(
+        "--dense",
+        action="store_true",
+        help="disable all Pallas serving kernels (XLA-only exact path)",
+    )
+    p.add_argument(
         "--apply8",
         action="store_true",
-        help="Pallas SPADE-4 apply kernel (spade_apply8) on the 128^2 eval path",
+        help="force the Pallas SPADE-4 apply kernel on (default: auto, on for TPU)",
     )
     p.add_argument(
         "--compact_heads",
         action="store_true",
-        help="compact class-resolution RGB-head tables (in-kernel W expansion)",
+        help="force compact class-resolution RGB-head tables on (default: auto, on for TPU)",
     )
     p.add_argument(
         "--grouped_heads",
@@ -72,8 +77,12 @@ def main():
         remat=args.remat,
         double_g_forward=args.double_g_forward,
         int8_serving=args.int8,
-        pallas_apply8=args.apply8,
-        pallas_compact_heads=args.compact_heads,
+        # tri-state: flag forces on, --dense forces off, neither = auto (TPU)
+        pallas_heads=False if args.dense else None,
+        pallas_apply8=True if args.apply8 else (False if args.dense else None),
+        pallas_compact_heads=True
+        if args.compact_heads
+        else (False if args.dense else None),
         pallas_grouped_heads=args.grouped_heads,
     )
     models = Models(cfg)

@@ -15,7 +15,7 @@ fi
 
 {
   echo "=== $(date -u) spade_apply8 TPU correctness (real Mosaic compile) ==="
-  timeout 900 python tools/verify_apply8_tpu.py 2>&1 | tail -3
+  timeout 900 python tools/verify_serving_tpu.py 2>&1 | tail -4
 
   echo "=== $(date -u) bench head (exact) ==="
   timeout 900 python bench.py 2>&1 | tail -2

@@ -64,9 +64,10 @@ class Config:
     # C%128==0 heads; None = auto (TPU only). TPU-verified exact; measured
     # +1.4 ms/batch (kills the XLA-side W-expanded table assembly).
     pallas_compact_heads: bool | None = None
-    # grouped transposed RGB heads: consume the conv-native (H,W,B,C)
-    # layout (no input relayout) + compact grouped tables; off until
-    # TPU-verified (same policy as pallas_apply8)
+    # 8-image-sublane RGB head (spade_few_out_conv8): consumes the
+    # conv-native (H,W,B,C) layout via halo DMA (no input relayout) with
+    # fully compact class tables; off until TPU-verified (same policy as
+    # pallas_apply8)
     pallas_grouped_heads: bool = False
     # opt-in APPROXIMATE int8 serving: the wide ConvLSTM gate convs run
     # through a Pallas int8 kernel (ops/pallas_conv8_int8.py; sub-1%

@@ -586,11 +586,12 @@ class Decoder(nn.Module):
     # C%128==0 RGB head (c7): kills the ~2 ms/batch XLA-side W-expanded
     # table assembly; opt-in until TPU-verified (Config.pallas_compact_heads)
     pallas_compact_heads: bool = False
-    # grouped transposed heads (spade_few_out_conv_g): consume the producing
-    # conv's (H, W, B, C) layout via a free bitcast (kills the ~1.6 ms c7
-    # head input relayout) AND use compact grouped tables; opt-in until
-    # TPU-verified (Config.pallas_grouped_heads). Takes precedence over
-    # pallas_compact_heads where its B/g and g*C alignment gates pass.
+    # 8-image-sublane head (spade_few_out_conv8): consumes the producing
+    # conv's (H, W, B, C) layout via a free bitcast + halo DMA (kills the
+    # ~1.6 ms c7 head input relayout) AND uses the fully compact class
+    # tables; opt-in until TPU-verified (Config.pallas_grouped_heads).
+    # Takes precedence over pallas_compact_heads where its B%8 / C%128
+    # alignment gates pass.
     pallas_grouped_heads: bool = False
     dtype: jnp.dtype | None = None
 
@@ -635,26 +636,30 @@ class Decoder(nn.Module):
         ):
             from aglayout_tpu.ops.pallas_spade_conv import (
                 spade_few_out_conv,
-                spade_few_out_conv_g,
+                spade_few_out_conv8,
             )
 
-            b, _, w, c = h.shape
-            g = 4
+            b, hh, w, c = h.shape
+            k = conv.kernel.shape[0]
             if (
                 self.pallas_grouped_heads
-                and b % g == 0
-                and (g * c) % 128 == 0
+                and b % 8 == 0
+                and c % 128 == 0
                 and w % f == 0
+                and hh >= f + 2 * (k // 2)
             ):
-                a_tab, b_tab = spade.folded_affine_tables_compact_flat(seg, f, group=g)
-                return spade_few_out_conv_g(
-                    jnp.transpose(h, (1, 2, 0, 3)),  # free vs the conv layout
+                # consume the producing conv's (H, W, B, C) layout directly
+                # (free bitcast) with 8-image sublane groups and the fully
+                # compact class tables — no input relayout, no flat-table
+                # assembly (ops/pallas_spade_conv.spade_few_out_conv8)
+                a_tab, b_tab = spade.folded_affine_tables_compact(seg, f)
+                return spade_few_out_conv8(
+                    jnp.transpose(h, (1, 2, 0, 3)),
                     a_tab.astype(h.dtype),
                     b_tab.astype(h.dtype),
                     conv.kernel,
                     conv.bias,
                     f=f,
-                    g=g,
                 )
             compact = self.pallas_compact_heads and c % 128 == 0
             if compact:

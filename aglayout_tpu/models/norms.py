@@ -315,7 +315,7 @@ class SPADE(nn.Module):
         b0 = b0.astype(gamma.dtype)
         return a0 * (1 + gamma), b0 * (1 + gamma) + beta
 
-    def folded_affine_tables_compact_flat(self, segmap, f: int, group: int = 1):
+    def folded_affine_tables_compact_flat(self, segmap, f: int):
         """Per-image compact folded affine tables for the fused RGB-head
         kernel's compact mode (ops/pallas_spade_conv.spade_few_out_conv
         with compact=True): both axes stay at class resolution — the fold
@@ -326,22 +326,12 @@ class SPADE(nn.Module):
         (col block*5 + col class, row block, row class, channel) — col
         blocks MAJOR so the kernel's one-hot W-expansion matmul reads the
         table as a (w*5, h*5*C) matrix without an in-kernel transpose.
-        With group=g > 1 (the grouped transposed head kernel,
-        spade_few_out_conv_g): (batch//g, w*5, h, 5, g, norm_features) —
-        g contiguous images per table block.
         """
         O2 = self._block_class_grid(segmap)
         b, h, w, _ = segmap.shape
         # (5rc, 5cc, B, h, w, 2n) -> (B, w, 5cc, h, 5rc, 2n) -> flat cols
         X = jnp.stack([jnp.stack(row, 0) for row in O2], 0).transpose(2, 4, 1, 3, 0, 5)
-        if group > 1:
-            assert b % group == 0
-            X = X.reshape(b // group, group, w, 5, h, 5, -1).transpose(
-                0, 2, 3, 4, 5, 1, 6
-            )
-            T = X.reshape(b // group, w * 5, h, 5, group, 2 * self.norm_features)
-        else:
-            T = X.reshape(b, w * 5, h, 5, 2 * self.norm_features)
+        T = X.reshape(b, w * 5, h, 5, 2 * self.norm_features)
         gamma, beta = jnp.split(T, 2, axis=-1)
         a0, b0 = self.param_free_norm.eval_affine()  # (C,) f32
         a0 = a0.astype(gamma.dtype)

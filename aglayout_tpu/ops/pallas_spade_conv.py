@@ -267,18 +267,19 @@ def spade_few_out_conv(
     return out.reshape(bsz, O, H, W).transpose(0, 2, 3, 1)
 
 
-def _kernel_g(
-    x_ref,  # (H, W, 1, g*C) — group-folded transposed view
-    a_ref,  # (1, WB*5, HB, 5, g, C) compact grouped tables
-    b_ref,
-    w_ref,  # (K*K*O, C)
+def _head8_kernel(
+    x_any,  # (H, W, B, C) in ANY/HBM — the conv-native transposed view
+    a_ref,  # (1, HB, 5, WB*5, 8, C) compact class tables (full HB: halo rows
+    b_ref,  #   need the neighbor blocks' coefficients)
+    w_ref,  # (K*K*O, C) taps-major flat kernel
     bias_ref,  # (1, O)
-    oh_ref,  # (W, WB*5) static column-class one-hot
-    out_ref,  # (1, O, H*W*g)
-    y_ref,  # (rows, W, g*C)
-    zt_ref,  # (K*K*O, guard + rows*W*g + guard)
-    ae_ref,  # (W, HB*5*g*C)
+    out_ref,  # (1, 1, O, f*W*8)
+    xw_ref,  # (rows, W, 8, C) DMA window scratch
+    yw_ref,  # (rows, W, 8, C) applied activations
+    zt_ref,  # (K*K*O, guard + rows*W*8 + guard)
+    ae_ref,  # (5 + 2r, W, 8, C) expanded coefficient slots (see `slots`)
     be_ref,
+    sem,
     *,
     H: int,
     W: int,
@@ -286,173 +287,181 @@ def _kernel_g(
     K: int,
     O: int,
     f: int,
-    g: int,
-    chunk: int,
 ):
-    r = K // 2
-    rows = chunk + 2 * r
-    n_chunk = H // chunk
-    gC = g * C
-    guard = _GUARD * g
+    i = pl.program_id(0)
+    jb = pl.program_id(1)
     hb = H // f
-    wb5 = (W // f) * 5
+    r = K // 2
+    rows = f + 2 * r
+    guard = _GUARD * 8
 
-    # W-expand the grouped class tables once per program (one exact one-hot
-    # matmul each); row (blk, cls) coefficients live at lane slice
-    # [(blk*5+cls)*gC : +gC], shaped (W, gC) to match an x row.
-    for src, dst in ((a_ref, ae_ref), (b_ref, be_ref)):
-        dst[...] = jax.lax.dot_general(
-            oh_ref[...],
-            src[0].reshape(wb5, hb * 5 * gC),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).astype(dst.dtype)
+    # ---- clipped window DMA: global rows [jb*f - r, jb*f + f + r) ∩ [0, H).
+    # Dynamic start, static size: clamp the start into range; the apply
+    # below compensates with `shift` (+r for jb==0, -r for jb==hb-1, else 0).
+    raw0 = jb * f - r
+    src0 = jnp.clip(raw0, 0, H - rows)
+    dma = pltpu.make_async_copy(
+        x_any.at[pl.ds(src0, rows), :, pl.ds(i * 8, 8), :],
+        xw_ref,
+        sem,
+    )
+    dma.start()
 
-    # lane -> W position (g images per W position): wpos = (lane // g) % W
-    wpos = (jax.lax.broadcasted_iota(jnp.int32, (O, chunk * W * g), 1) // g) % W
-    bias = bias_ref[0].astype(jnp.float32).reshape(O, 1)
+    # ---- expand the 11 (block, class) coefficient slots needed by the
+    # window while the DMA is in flight. Slots: 0-4 = block jb classes 0-4;
+    # 5-7 = block jb-1 classes 2-4 (top halo); 8-10 = block jb+1 classes
+    # 0-2 (bottom halo). Neighbor indices are clamped; their values are
+    # never read at the edges (those rows are zeroed as conv padding).
+    jprev = jnp.maximum(jb - 1, 0)
+    jnext = jnp.minimum(jb + 1, hb - 1)
+    slots = [(0 + c, jb, c) for c in range(5)]
+    # top halo rows u<r live in block jb-1 at in-block positions f-r+u;
+    # bottom halo rows u>=f+r live in block jb+1 at positions u-(f+r)
+    slots += [(5 + u, jprev, _row_class(f - r + u, f)) for u in range(r)]
+    slots += [(5 + r + u, jnext, _row_class(u, f)) for u in range(r)]
+    for slot, jsrc, cls in slots:
+        for wb in range(W // f):
+            base = wb * f
+            for u, ccls in ((0, 0), (1, 1), (f - 2, 3), (f - 1, 4)):
+                ae_ref[slot, base + u] = a_ref[0, jsrc, cls, wb * 5 + ccls]
+                be_ref[slot, base + u] = b_ref[0, jsrc, cls, wb * 5 + ccls]
+            ae_ref[slot, base + 2 : base + f - 2] = jnp.broadcast_to(
+                a_ref[0, jsrc, cls, wb * 5 + 2], (f - 4, *a_ref.shape[4:])
+            )
+            be_ref[slot, base + 2 : base + f - 2] = jnp.broadcast_to(
+                b_ref[0, jsrc, cls, wb * 5 + 2], (f - 4, *b_ref.shape[4:])
+            )
 
-    for c in range(n_chunk):
-        # ---- 1. SPADE-applied rows [c*chunk - r, c*chunk + chunk + r)
-        for j in range(rows):
-            gr = c * chunk + j - r
-            if gr < 0 or gr >= H:
-                y_ref[j] = jnp.zeros((W, gC), y_ref.dtype)
-            else:
-                blk, u = divmod(gr, f)
-                cls = _row_class(u, f)
-                off = (blk * 5 + cls) * gC
-                xa = x_ref[gr, :, 0].astype(jnp.float32)
-                av = ae_ref[:, off : off + gC].astype(jnp.float32)
-                bv = be_ref[:, off : off + gC].astype(jnp.float32)
-                y_ref[j] = jnp.maximum(xa * av + bv, 0.0).astype(y_ref.dtype)
+    dma.wait()
+    shift = src0 - raw0  # 0 interior, +r at jb==0, -r at jb==hb-1
 
-        # ---- 2. kn2row matmul, taps-major: (K*K*O, rows*W*g)
-        rhs = y_ref[...].reshape(rows * W * g, C)
-        z = jax.lax.dot_general(
-            w_ref[...],
-            rhs,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    # ---- SPADE apply + relu into the window buffer (window coordinates)
+    for u in range(rows):
+        if u < r:
+            slot_u = 5 + u  # block jb-1
+        elif u < f + r:
+            slot_u = _row_class(u - r, f)  # block jb
+        else:
+            slot_u = 5 + r + (u - (f + r))  # block jb+1
+        iu = jnp.clip(u - shift, 0, rows - 1)
+        xa = xw_ref[pl.ds(iu, 1)][0]
+        yw_ref[u] = jnp.maximum(
+            xa * ae_ref[slot_u] + be_ref[slot_u], jnp.zeros((), yw_ref.dtype)
         )
-        zt_ref[:, guard : guard + rows * W * g] = z.astype(zt_ref.dtype)
+    # zero the OOB halo rows (conv zero padding) at the H edges
+    zrow = jnp.zeros(yw_ref.shape[1:], yw_ref.dtype)
 
-        # ---- 3. shifted-slice reduction into (O, chunk*W*g): a dx shift is
-        # dx*g lanes, a dy shift dy*W*g
-        acc = jnp.broadcast_to(bias, (O, chunk * W * g)).astype(jnp.float32)
-        for dy in range(K):
-            for dx in range(K):
-                t = dy * K + dx
-                sx = dx - r
-                base = guard + (dy * W + sx) * g
-                seg = zt_ref[t * O : (t + 1) * O, base : base + chunk * W * g].astype(
-                    jnp.float32
-                )
-                if sx > 0:
-                    seg = jnp.where(wpos < (W - sx), seg, 0.0)
-                elif sx < 0:
-                    seg = jnp.where(wpos >= (-sx), seg, 0.0)
-                acc = acc + seg
-        out_ref[0, :, c * chunk * W * g : (c + 1) * chunk * W * g] = acc.astype(
-            out_ref.dtype
-        )
+    @pl.when(jb == 0)
+    def _():
+        for u in range(r):
+            yw_ref[u] = zrow
+
+    @pl.when(jb == hb - 1)
+    def _():
+        for u in range(r):
+            yw_ref[rows - 1 - u] = zrow
+
+    # ---- kn2row matmul, taps-major: (K*K*O, rows*W*8)
+    rhs = yw_ref[...].reshape(rows * W * 8, C)
+    z = jax.lax.dot_general(
+        w_ref[...],
+        rhs,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    zt_ref[:, guard : guard + rows * W * 8] = z.astype(zt_ref.dtype)
+
+    # ---- shifted-slice reduction into (O, f*W*8): dx -> 8 lanes, dy -> W*8
+    wpos = (jax.lax.broadcasted_iota(jnp.int32, (O, f * W * 8), 1) // 8) % W
+    acc = jnp.broadcast_to(
+        bias_ref[0].astype(jnp.float32).reshape(O, 1), (O, f * W * 8)
+    ).astype(jnp.float32)
+    for dy in range(K):
+        for dx in range(K):
+            t = dy * K + dx
+            sx = dx - r
+            base = guard + (dy * W + sx) * 8
+            seg = zt_ref[t * O : (t + 1) * O, base : base + f * W * 8].astype(jnp.float32)
+            if sx > 0:
+                seg = jnp.where(wpos < (W - sx), seg, 0.0)
+            elif sx < 0:
+                seg = jnp.where(wpos >= (-sx), seg, 0.0)
+            acc = acc + seg
+    out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("f", "g", "interpret", "chunk"))
-def spade_few_out_conv_g(
-    x_t,
-    a_tab,
-    b_tab,
-    kernel,
-    bias=None,
-    *,
-    f: int,
-    g: int = 4,
-    interpret: bool = False,
-    chunk: int = 16,
-):
-    """Grouped transposed variant of `spade_few_out_conv`: consumes the
-    (H, W, B, C) view of a conv output directly, g images per program.
+@functools.partial(jax.jit, static_argnames=("f", "interpret"))
+def spade_few_out_conv8(x_t, a_tab, b_tab, kernel, bias=None, *, f: int, interpret: bool = False):
+    """Fused [SPADE eval apply -> relu -> few-out KxK conv] consuming the
+    TRANSPOSED (H, W, B, C) view of a conv output, 8 images per program.
 
-    Why it exists: the NHWC head forces a measured ~1.6 ms relayout of the
-    c6 output ({3,0,2,1} -> row-major) in front of the custom call, and the
-    round-3 transposed entry (`transposed=True`) only broke even because
-    its (B, C) full-batch minor fold is a real relayout under (8,128)
-    tiling. Grouping g CONTIGUOUS images makes the fold
-    (H, W, B, C) -> (H, W, B//g, g*C) a pure view (free bitcast), keeps the
-    minor dim 128-aligned for g*C % 128 == 0, and turns every per-row table
-    lookup into a (W, g*C) lane slice. Tables are the compact
-    class-resolution form (group variant), W-expanded in-kernel by one
-    one-hot matmul — the XLA-side table assembly never runs.
+    v4 of the RGB head (serves c7 at 128^2; reference
+    models/generator_obj_att128.py:604). The NHWC head (spade_few_out_conv)
+    forces a measured ~1.6 ms relayout of the c6 output ({3,0,2,1} ->
+    row-major) in front of the custom call; this kernel reads the
+    conv-native layout directly — `jnp.transpose(h, (1,2,0,3))` is a free
+    bitcast — with 8-image sublane blocks like `spade_apply8`, and uses the
+    same fully-compact class tables (`SPADE.folded_affine_tables_compact`),
+    so the flat-table assembly copies disappear too. The H axis cannot be
+    blocked with halos by BlockSpecs, so x stays in HBM/ANY and each
+    program DMAs its (f + 2r)-row window manually (clipped at the edges;
+    coefficient slots for halo rows come from the neighbor row-blocks).
 
-    x_t: (H, W, B, C) with B % g == 0 and (g*C) % 128 == 0.
-    a_tab/b_tab: (B//g, (W//f)*5, H//f, 5, g, C)
-    (`SPADE.folded_affine_tables_compact_flat(..., group=g)`).
-    kernel: (K, K, C, O), O <= 8; bias (O,) or None.
-    Returns (B, H, W, O) in x_t.dtype.
+    x_t: (H, W, B, C), B % 8 == 0, C % 128 == 0, H % f == W % f == 0.
+    a_tab/b_tab: (B//8, H//f, 5, (W//f)*5, 8, C) from
+    `SPADE.folded_affine_tables_compact`. kernel: (K, K, C, O) with O <= 8;
+    bias: (O,) or None. Returns (B, H, W, O) in x_t.dtype.
     """
     H, W, bsz, C = x_t.shape
     K = kernel.shape[0]
     O = kernel.shape[3]
+    hb = H // f
     assert kernel.shape[1] == K and kernel.shape[2] == C
     assert O <= 8 and K % 2 == 1
-    assert bsz % g == 0 and (g * C) % 128 == 0
-    assert H % f == 0 and W % f == 0
-    assert a_tab.shape == (bsz // g, (W // f) * 5, H // f, 5, g, C), a_tab.shape
-    chunk = min(chunk, H)
-    assert H % chunk == 0
+    assert bsz % 8 == 0 and C % 128 == 0 and H % f == 0 and W % f == 0
+    assert a_tab.shape == (bsz // 8, hb, 5, (W // f) * 5, 8, C), a_tab.shape
     r = K // 2
-    rows = chunk + 2 * r
-    gC = g * C
+    rows = f + 2 * r
+    assert H >= rows, (H, rows)
 
-    x_v = x_t.reshape(H, W, bsz // g, gC)  # pure view: contiguous minor merge
     w_flat = (
         kernel.reshape(K * K, C, O).transpose(0, 2, 1).reshape(K * K * O, C).astype(x_t.dtype)
     )
     bias = jnp.zeros((O,), jnp.float32) if bias is None else bias.astype(jnp.float32)
-    colcls = jnp.asarray(
-        [(j // f) * 5 + _row_class(j % f, f) for j in range(W)], jnp.int32
+    tab_spec = pl.BlockSpec(
+        (1, hb, 5, (W // f) * 5, 8, C),
+        lambda i, j: (i, 0, 0, 0, 0, 0),
+        memory_space=pltpu.VMEM,
     )
-    onehot = jax.nn.one_hot(colcls, (W // f) * 5, dtype=x_t.dtype)
-
     out = pl.pallas_call(
-        functools.partial(
-            _kernel_g, H=H, W=W, C=C, K=K, O=O, f=f, g=g, chunk=chunk
-        ),
-        grid=(bsz // g,),
+        functools.partial(_head8_kernel, H=H, W=W, C=C, K=K, O=O, f=f),
+        grid=(bsz // 8, hb),
         in_specs=[
-            pl.BlockSpec((H, W, 1, gC), lambda i: (0, 0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, (W // f) * 5, H // f, 5, g, C),
-                lambda i: (i, 0, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, (W // f) * 5, H // f, 5, g, C),
-                lambda i: (i, 0, 0, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            tab_spec,
+            tab_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, O, H * W * g), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, O, f * W * 8), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz // g, O, H * W * g), x_t.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz // 8, hb, O, f * W * 8), x_t.dtype),
         scratch_shapes=[
-            pltpu.VMEM((rows, W, gC), x_t.dtype),
-            pltpu.VMEM((K * K * O, 2 * _GUARD * g + rows * W * g), x_t.dtype),
-            pltpu.VMEM((W, (H // f) * 5 * gC), x_t.dtype),
-            pltpu.VMEM((W, (H // f) * 5 * gC), x_t.dtype),
+            pltpu.VMEM((rows, W, 8, C), x_t.dtype),
+            pltpu.VMEM((rows, W, 8, C), x_t.dtype),
+            pltpu.VMEM((K * K * O, 2 * _GUARD * 8 + rows * W * 8), x_t.dtype),
+            pltpu.VMEM((5 + 2 * r, W, 8, C), x_t.dtype),
+            pltpu.VMEM((5 + 2 * r, W, 8, C), x_t.dtype),
+            pltpu.SemaphoreType.DMA(()),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(x_v, a_tab, b_tab, w_flat, bias.reshape(1, O), onehot)
-    # (B//g, O, H*W*g) -> (B, H, W, O)
+    )(x_t, a_tab, b_tab, w_flat, bias.reshape(1, O))
+    # (B//8, HB, O, f, W, 8) -> (B, H, W, O)
     return (
-        out.reshape(bsz // g, O, H, W, g)
-        .transpose(0, 4, 2, 3, 1)
+        out.reshape(bsz // 8, hb, O, f, W, 8)
+        .transpose(0, 5, 1, 3, 4, 2)
         .reshape(bsz, H, W, O)
     )
 

@@ -36,8 +36,8 @@ def interpret_kernels(monkeypatch):
     )
     monkeypatch.setattr(
         psc,
-        "spade_few_out_conv_g",
-        functools.partial(psc.spade_few_out_conv_g, interpret=True),
+        "spade_few_out_conv8",
+        functools.partial(psc.spade_few_out_conv8, interpret=True),
     )
 
 

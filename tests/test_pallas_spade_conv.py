@@ -88,15 +88,16 @@ def test_fused_head_matches_dense(b, H, C, O, K, hs, seg_c):
     np.testing.assert_allclose(np.asarray(got_c), np.asarray(got), rtol=0, atol=0)
 
 
-@pytest.mark.parametrize("g,b,H,C,hs", [(2, 4, 128, 128, 8), (4, 4, 64, 64, 8)])
-def test_grouped_transposed_head_matches_dense(g, b, H, C, hs):
-    """spade_few_out_conv_g ((H,W,B,C) input, g-image groups, compact
-    grouped tables) == the dense composition."""
-    from aglayout_tpu.ops.pallas_spade_conv import spade_few_out_conv_g
+@pytest.mark.parametrize("b,H,C,hs,K", [(8, 128, 128, 8, 7), (8, 64, 128, 8, 7), (16, 64, 128, 4, 5)])
+def test_head8_matches_dense(b, H, C, hs, K):
+    """spade_few_out_conv8 ((H,W,B,C) input, 8-image sublane groups, halo
+    DMA, fully compact class tables) == the dense composition, incl. the
+    clipped edge row-blocks."""
+    from aglayout_tpu.ops.pallas_spade_conv import spade_few_out_conv8
 
     rng = np.random.RandomState(1)
     f = H // hs
-    O, K, seg_c = 3, 7, 64
+    O, seg_c = 3, 64
     spade = SPADE(C, seg_features=seg_c)
     seg = jnp.asarray(rng.randn(b, hs, hs, seg_c).astype(np.float32))
     x = jnp.asarray(rng.randn(b, H, H, C).astype(np.float32))
@@ -116,12 +117,12 @@ def test_grouped_transposed_head_matches_dense(g, b, H, C, hs):
         )
         + bias
     )
-    a_g, b_g = spade.apply(
-        variables, seg, f, method=SPADE.folded_affine_tables_compact_flat, group=g
+    a_c, b_c = spade.apply(
+        variables, seg, f, method=SPADE.folded_affine_tables_compact
     )
-    assert a_g.shape == (b // g, hs * 5, hs, 5, g, C)
-    got = spade_few_out_conv_g(
-        jnp.transpose(x, (1, 2, 0, 3)), a_g, b_g, kern, bias, f=f, g=g, interpret=True
+    assert a_c.shape == (b // 8, hs, 5, hs * 5, 8, C)
+    got = spade_few_out_conv8(
+        jnp.transpose(x, (1, 2, 0, 3)), a_c, b_c, kern, bias, f=f, interpret=True
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=5e-3)
 

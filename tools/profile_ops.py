@@ -227,6 +227,8 @@ def main():
     p.add_argument("--line", default="XLA Ops")
     p.add_argument("--train_step", action="store_true")
     p.add_argument("--f32", action="store_true", help="profile the f32 model (default bf16, matching bench.py)")
+    p.add_argument("--grouped_heads", action="store_true", help="force the 8-image-sublane head on")
+    p.add_argument("--dense", action="store_true", help="disable all Pallas serving kernels")
     p.add_argument(
         "--gaps",
         action="store_true",
@@ -255,6 +257,10 @@ def main():
         batch_size=args.batch_size,
         max_objects=args.max_objects,
         bf16=not args.f32,
+        pallas_heads=False if args.dense else None,
+        pallas_apply8=False if args.dense else None,
+        pallas_compact_heads=False if args.dense else None,
+        pallas_grouped_heads=args.grouped_heads,
     )
     models = Models(cfg)
     state = create_train_state(cfg, models, jax.random.PRNGKey(0))

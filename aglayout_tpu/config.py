@@ -66,9 +66,11 @@ class Config:
     pallas_compact_heads: bool | None = None
     # 8-image-sublane RGB head (spade_few_out_conv8): consumes the
     # conv-native (H,W,B,C) layout via halo DMA (no input relayout) with
-    # fully compact class tables; off until TPU-verified (same policy as
-    # pallas_apply8)
-    pallas_grouped_heads: bool = False
+    # fully compact class tables; None = auto (TPU only). TPU-verified
+    # exact (tools/verify_serving_tpu.py --variants grouped: end-to-end
+    # delta 0 vs the flat-head path) and measured 2,826 -> 2,868 img/s at
+    # 128^2 b=128; engages only where B%8==0 and C%128==0 (the c7 head).
+    pallas_grouped_heads: bool | None = None
     # opt-in APPROXIMATE int8 serving: the wide ConvLSTM gate convs run
     # through a Pallas int8 kernel (ops/pallas_conv8_int8.py; sub-1%
     # pre-activation error damped by the saturating gate nonlinearities).

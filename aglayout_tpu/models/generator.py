@@ -589,7 +589,7 @@ class Decoder(nn.Module):
     # 8-image-sublane head (spade_few_out_conv8): consumes the producing
     # conv's (H, W, B, C) layout via a free bitcast + halo DMA (kills the
     # ~1.6 ms c7 head input relayout) AND uses the fully compact class
-    # tables; opt-in until TPU-verified (Config.pallas_grouped_heads).
+    # tables; TPU-verified exact, default-on for TPU (Config.pallas_grouped_heads).
     # Takes precedence over pallas_compact_heads where its B%8 / C%128
     # alignment gates pass.
     pallas_grouped_heads: bool = False

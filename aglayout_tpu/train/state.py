@@ -63,7 +63,7 @@ class Models:
             int8_serving=cfg.int8_serving,
             pallas_apply8=tpu_auto(cfg.pallas_apply8),
             pallas_compact_heads=tpu_auto(cfg.pallas_compact_heads),
-            pallas_grouped_heads=cfg.pallas_grouped_heads,
+            pallas_grouped_heads=tpu_auto(cfg.pallas_grouped_heads),
             dtype=dtype,
         )
         self.d_image = ImageDiscriminator(conv_dim=cfg.d_conv_dim, dtype=dtype)

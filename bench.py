@@ -83,7 +83,9 @@ def main():
         pallas_compact_heads=True
         if args.compact_heads
         else (False if args.dense else None),
-        pallas_grouped_heads=args.grouped_heads,
+        pallas_grouped_heads=True
+        if args.grouped_heads
+        else (False if args.dense else None),
     )
     models = Models(cfg)
     state = create_train_state(cfg, models, jax.random.PRNGKey(0))

@@ -94,7 +94,7 @@ def main():
             if mode == "dmaonly":
                 out_ref[0, 0] = jnp.broadcast_to(
                     jnp.sum(xw[0, 0].astype(jnp.float32)), out_ref.shape[2:]
-                ).astype(out_ref.dtype)[None]
+                ).astype(out_ref.dtype)
                 return
             shift = jnp.int32(0) if mode == "nodma" else src0 - raw0
             for u in range(rows):
@@ -146,7 +146,7 @@ def main():
         memory_space=pltpu.VMEM,
     )
 
-    def build(mode):
+    def build(mode, x_t, a_tab, b_tab):
         return pl.pallas_call(
             variant_kernel(mode),
             grid=(B // 8, hb),
@@ -173,25 +173,30 @@ def main():
             compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         )(x_t, a_tab, b_tab, w_flat, bias.reshape(1, O))
 
+    operands = [jax.device_put(v) for v in (x_t, a_tab, b_tab)]
+
     def timed(fn, tag):
+        # operands passed as jit ARGUMENTS: a closure constant would ship
+        # the 536 MB input in the remote-compile request body (HTTP 413 on
+        # the axon tunnel)
         @jax.jit
-        def loop():
+        def loop(x_t, a_tab, b_tab):
             def body(s, _):
-                return s + fn().astype(jnp.float32).sum(), 0.0
+                return s + fn(x_t, a_tab, b_tab).astype(jnp.float32).sum(), 0.0
 
             out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=args.iters)
             return out
 
-        float(loop())
+        float(loop(*operands))
         t0 = time.time()
-        chk = float(loop())
+        chk = float(loop(*operands))
         dt = (time.time() - t0) / args.iters * 1e3
         print(f"{tag:8s}: {dt:7.3f} ms  (chk {chk:.3g})")
         return dt
 
     # production entry first (includes the (B,H,W,O) re-layout epilogue)
     timed(
-        lambda: spade_few_out_conv8(x_t, a_tab, b_tab, kern, bias, f=f), "prod"
+        lambda x, a, b: spade_few_out_conv8(x, a, b, kern, bias, f=f), "prod"
     )
     for mode in ("full", "nodma", "dmaonly", "noexp"):
         timed(functools.partial(build, mode), mode)

@@ -71,6 +71,12 @@ class Config:
     # delta 0 vs the flat-head path) and measured 2,826 -> 2,868 img/s at
     # 128^2 b=128; engages only where B%8==0 and C%128==0 (the c7 head).
     pallas_grouped_heads: bool | None = None
+    # eval-mode lax.scan unroll factor for the object-axis ConvLSTM (exact
+    # math). None = 1. Measured on TPU v5e at the 128^2 serving shapes:
+    # full unroll is a slight LOSS (2,837 vs 2,857 img/s) — the while-loop
+    # bookkeeping is negligible and the scan is peak-bound; kept as a knob
+    # for other shapes.
+    clstm_unroll: int | None = None
     # opt-in APPROXIMATE int8 serving: the wide ConvLSTM gate convs run
     # through a Pallas int8 kernel (ops/pallas_conv8_int8.py; sub-1%
     # pre-activation error damped by the saturating gate nonlinearities).

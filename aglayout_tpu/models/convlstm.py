@@ -123,7 +123,7 @@ class LayoutFuser(nn.Module):
     dtype: jnp.dtype | None = None
 
     @nn.compact
-    def __call__(self, x, valid):
+    def __call__(self, x, valid, unroll: int = 1):
         b, o, h, w, _ = x.shape
         dtype = self.dtype or x.dtype
         carry = tuple(
@@ -139,6 +139,7 @@ class LayoutFuser(nn.Module):
             split_rngs={"params": False},
             in_axes=1,
             out_axes=1,
+            unroll=min(max(int(unroll), 1), o),
         )
         carry, _ = scan(
             self.hidden_dims,

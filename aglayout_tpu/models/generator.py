@@ -235,6 +235,9 @@ class LayoutEncoder(nn.Module):
     # opt-in approximate int8 serving: ConvLSTM gate convs through the
     # Pallas int8 kernel (ops/pallas_conv8_int8.py). Serving only.
     int8_serving: bool = False
+    # lax.scan unroll factor for the object-axis ConvLSTM in EVAL mode
+    # (exact; removes per-step while-loop bookkeeping). Train keeps 1.
+    clstm_eval_unroll: int = 1
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -537,7 +540,9 @@ class LayoutEncoder(nn.Module):
                 h = adaptive_avg_pool(h, 8)  # (N,16,16,512) -> (N,8,8,512)
 
         h = h.reshape(b, o, 8, 8, d * 8)
-        h = self.clstm(h, valid)  # (B, 8, 8, 64)
+        h = self.clstm(
+            h, valid, unroll=self.clstm_eval_unroll if ura else 1
+        )  # (B, 8, 8, 64)
 
         for block in self.residuals:
             h = block(h, ura)
@@ -782,6 +787,8 @@ class Generator(nn.Module):
     pallas_compact_heads: bool = False
     # grouped transposed RGB heads (Config.pallas_grouped_heads)
     pallas_grouped_heads: bool = False
+    # eval-mode lax.scan unroll for the object-axis ConvLSTM (exact)
+    clstm_eval_unroll: int = 1
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -798,6 +805,7 @@ class Generator(nn.Module):
             z_dim=self.z_dim,
             pallas_typed=self.pallas_heads,
             int8_serving=self.int8_serving,
+            clstm_eval_unroll=self.clstm_eval_unroll,
             dtype=self.dtype,
         )
         self.decoder = Decoder(

@@ -53,6 +53,12 @@ def main():
         action="store_true",
         help="grouped transposed RGB heads (no input relayout, compact grouped tables)",
     )
+    p.add_argument(
+        "--clstm_unroll",
+        type=int,
+        default=None,
+        help="eval ConvLSTM scan unroll factor (default: auto, full on TPU)",
+    )
     p.add_argument("--train_step", action="store_true", help="bench the GAN train step instead")
     p.add_argument("--remat", action="store_true", help="rematerialized G forward (train bench)")
     p.add_argument(
@@ -86,6 +92,7 @@ def main():
         pallas_grouped_heads=True
         if args.grouped_heads
         else (False if args.dense else None),
+        clstm_unroll=args.clstm_unroll,
     )
     models = Models(cfg)
     state = create_train_state(cfg, models, jax.random.PRNGKey(0))

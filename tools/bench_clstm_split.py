@@ -76,18 +76,23 @@ def main():
         return h
 
     def timed(fn, tag):
-        # one jitted scan over iters re-running the fused computation
-        @jax.jit
-        def loop(x_all):
-            def body(acc, _):
-                return acc + fn(x_all).astype(jnp.float32).sum(), 0.0
+        # one jitted scan over iters; the input is scaled per iteration so
+        # the body is NOT loop-invariant (XLA hoists an invariant fn(x_all)
+        # out of the scan entirely — the first version of this bench
+        # measured exactly that and reported 5x below the FLOP floor)
+        scales = jnp.asarray(1.0 + 1e-3 * rng.randn(args.iters), jnp.bfloat16)
 
-            out, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=args.iters)
+        @jax.jit
+        def loop(x_all, scales):
+            def body(acc, s):
+                return acc + fn(x_all * s).astype(jnp.float32).sum(), 0.0
+
+            out, _ = jax.lax.scan(body, jnp.float32(0.0), scales)
             return out
 
-        float(loop(x_all))  # compile + warm
+        float(loop(x_all, scales))  # compile + warm
         t0 = time.time()
-        chk = float(loop(x_all))
+        chk = float(loop(x_all, scales))
         dt = (time.time() - t0) / args.iters * 1e3
         print(f"{tag}: {dt:.3f} ms/batch (checksum {chk:.1f})")
         return dt

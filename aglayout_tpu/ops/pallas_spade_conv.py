@@ -274,12 +274,13 @@ def _head8_kernel(
     w_ref,  # (K*K*O, C) taps-major flat kernel
     bias_ref,  # (1, O)
     out_ref,  # (1, 1, O, f*W*8)
-    xw_ref,  # (rows, W, 8, C) DMA window scratch
+    xw0_ref,  # (rows, W, 8, C) DMA window scratch, even programs
+    xw1_ref,  # (rows, W, 8, C) DMA window scratch, odd programs
     yw_ref,  # (rows, W, 8, C) applied activations
     zt_ref,  # (K*K*O, guard + rows*W*8 + guard)
     ae_ref,  # (5 + 2r, W, 8, C) expanded coefficient slots (see `slots`)
     be_ref,
-    sem,
+    sem,  # (2,) DMA semaphores, one per window buffer
     *,
     H: int,
     W: int,
@@ -287,6 +288,7 @@ def _head8_kernel(
     K: int,
     O: int,
     f: int,
+    NB: int,
 ):
     i = pl.program_id(0)
     jb = pl.program_id(1)
@@ -295,17 +297,42 @@ def _head8_kernel(
     rows = f + 2 * r
     guard = _GUARD * 8
 
-    # ---- clipped window DMA: global rows [jb*f - r, jb*f + f + r) ∩ [0, H).
-    # Dynamic start, static size: clamp the start into range; the apply
-    # below compensates with `shift` (+r for jb==0, -r for jb==hb-1, else 0).
-    raw0 = jb * f - r
-    src0 = jnp.clip(raw0, 0, H - rows)
-    dma = pltpu.make_async_copy(
-        x_any.at[pl.ds(src0, rows), :, pl.ds(i * 8, 8), :],
-        xw_ref,
-        sem,
-    )
-    dma.start()
+    # ---- clipped window DMA: global rows [jb*f - r, jb*f + f + r) ∩ [0, H),
+    # double-buffered ACROSS grid programs: program p (sequential on the
+    # core) issues the DMA for program p+1's window before computing, so
+    # the window transfer has the whole previous program's compute to land
+    # — in the full model the strided (8-image, 2 KB-chunk) reads contend
+    # with surrounding ops and a within-program start/wait leaves the
+    # kernel DMA-latency-bound. Dynamic start, static size: the start is
+    # clamped into range; the apply below compensates with `shift`.
+    p_lin = i * hb + jb
+    n_prog = NB * hb
+    even = jax.lax.rem(p_lin, 2) == 0
+
+    def window_copy(pp, xwr, s):
+        ii = pp // hb
+        jj = jax.lax.rem(pp, hb)
+        raw = jj * f - r
+        s0 = jnp.clip(raw, 0, H - rows)
+        return pltpu.make_async_copy(
+            x_any.at[pl.ds(s0, rows), :, pl.ds(ii * 8, 8), :],
+            xwr,
+            sem.at[s],
+        )
+
+    @pl.when(p_lin == 0)
+    def _():
+        window_copy(0, xw0_ref, 0).start()
+
+    nxt = p_lin + 1
+
+    @pl.when((nxt < n_prog) & even)  # next program is odd -> buffer 1
+    def _():
+        window_copy(nxt, xw1_ref, 1).start()
+
+    @pl.when((nxt < n_prog) & jnp.logical_not(even))
+    def _():
+        window_copy(nxt, xw0_ref, 0).start()
 
     # ---- expand the 11 (block, class) coefficient slots needed by the
     # window while the DMA is in flight. Slots: 0-4 = block jb classes 0-4;
@@ -332,22 +359,34 @@ def _head8_kernel(
                 b_ref[0, jsrc, cls, wb * 5 + 2], (f - 4, *b_ref.shape[4:])
             )
 
-    dma.wait()
+    raw0 = jb * f - r
+    src0 = jnp.clip(raw0, 0, H - rows)
     shift = src0 - raw0  # 0 interior, +r at jb==0, -r at jb==hb-1
 
     # ---- SPADE apply + relu into the window buffer (window coordinates)
-    for u in range(rows):
-        if u < r:
-            slot_u = 5 + u  # block jb-1
-        elif u < f + r:
-            slot_u = _row_class(u - r, f)  # block jb
-        else:
-            slot_u = 5 + r + (u - (f + r))  # block jb+1
-        iu = jnp.clip(u - shift, 0, rows - 1)
-        xa = xw_ref[pl.ds(iu, 1)][0]
-        yw_ref[u] = jnp.maximum(
-            xa * ae_ref[slot_u] + be_ref[slot_u], jnp.zeros((), yw_ref.dtype)
-        )
+    def apply_rows(xwr):
+        for u in range(rows):
+            if u < r:
+                slot_u = 5 + u  # block jb-1
+            elif u < f + r:
+                slot_u = _row_class(u - r, f)  # block jb
+            else:
+                slot_u = 5 + r + (u - (f + r))  # block jb+1
+            iu = jnp.clip(u - shift, 0, rows - 1)
+            xa = xwr[pl.ds(iu, 1)][0]
+            yw_ref[u] = jnp.maximum(
+                xa * ae_ref[slot_u] + be_ref[slot_u], jnp.zeros((), yw_ref.dtype)
+            )
+
+    @pl.when(even)
+    def _():
+        window_copy(p_lin, xw0_ref, 0).wait()
+        apply_rows(xw0_ref)
+
+    @pl.when(jnp.logical_not(even))
+    def _():
+        window_copy(p_lin, xw1_ref, 1).wait()
+        apply_rows(xw1_ref)
     # zero the OOB halo rows (conv zero padding) at the H edges
     zrow = jnp.zeros(yw_ref.shape[1:], yw_ref.dtype)
 
@@ -434,7 +473,7 @@ def spade_few_out_conv8(x_t, a_tab, b_tab, kernel, bias=None, *, f: int, interpr
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        functools.partial(_head8_kernel, H=H, W=W, C=C, K=K, O=O, f=f),
+        functools.partial(_head8_kernel, H=H, W=W, C=C, K=K, O=O, f=f, NB=bsz // 8),
         grid=(bsz // 8, hb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -450,10 +489,11 @@ def spade_few_out_conv8(x_t, a_tab, b_tab, kernel, bias=None, *, f: int, interpr
         scratch_shapes=[
             pltpu.VMEM((rows, W, 8, C), x_t.dtype),
             pltpu.VMEM((rows, W, 8, C), x_t.dtype),
+            pltpu.VMEM((rows, W, 8, C), x_t.dtype),
             pltpu.VMEM((K * K * O, 2 * _GUARD * 8 + rows * W * 8), x_t.dtype),
             pltpu.VMEM((5 + 2 * r, W, 8, C), x_t.dtype),
             pltpu.VMEM((5 + 2 * r, W, 8, C), x_t.dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,

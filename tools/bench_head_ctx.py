@@ -19,7 +19,11 @@ the producer-layout effect, tabs-args the table-build effect.
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

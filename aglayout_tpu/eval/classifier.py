@@ -112,7 +112,7 @@ def main():
     sub = p.add_subparsers(dest="cmd", required=True)
     pt = sub.add_parser("train")
     pt.add_argument("--vg_dir", required=True)
-    pt.add_argument("--image_dir", required=True)
+    pt.add_argument("--image_dir", default="")
     pt.add_argument("--out", default="crop_classifier.msgpack")
     pt.add_argument("--image_size", type=int, default=64)
     pt.add_argument("--batch_size", type=int, default=8)
@@ -123,16 +123,25 @@ def main():
     pe.add_argument("--weights", required=True)
     pe.add_argument("--crop_size", type=int, default=224)
     pe.add_argument("--max_batches", type=int, default=None)
+    pe.add_argument(
+        "--num_classes", type=int, default=179,
+        help="must match the trained weights (vocab size at train time)",
+    )
     args = p.parse_args()
 
     from aglayout_tpu.config import config_for
 
     if args.cmd == "train":
-        from aglayout_tpu.data.dataset import Loader, VgDataset
+        from aglayout_tpu.data.dataset import get_dataloaders
 
-        cfg = config_for(args.image_size, batch_size=args.batch_size)
-        ds = VgDataset(args.vg_dir, args.image_dir, "train", image_size=args.image_size)
-        loader = Loader(ds, cfg.batch_size, cfg.max_objects, shuffle=True, seed=0)
+        cfg = config_for(
+            args.image_size,
+            vg_dir=args.vg_dir,
+            image_dir=args.image_dir,
+            batch_size=args.batch_size,
+        )
+        loader, _, vocab = get_dataloaders(cfg)
+        cfg.num_classes = len(vocab["object_idx_to_name"])
         model, params, stats = train_crop_classifier(
             cfg, loader, niter=args.niter, crop_size=args.crop_size
         )
@@ -140,8 +149,7 @@ def main():
             f.write(serialization.to_bytes({"params": params, "batch_stats": stats}))
         print(f"saved {args.out}")
     else:
-        cfg = config_for(64)
-        model = ResNet50(num_classes=cfg.num_classes)
+        model = ResNet50(num_classes=args.num_classes)
         dummy = jnp.zeros((1, args.crop_size, args.crop_size, 3))
         tmpl = jax.jit(model.init, static_argnames=("train",))(
             jax.random.PRNGKey(0), dummy, train=False

@@ -458,6 +458,9 @@ def spade_few_out_conv8(x_t, a_tab, b_tab, kernel, bias=None, *, f: int, interpr
     assert kernel.shape[1] == K and kernel.shape[2] == C
     assert O <= 8 and K % 2 == 1
     assert bsz % 8 == 0 and C % 128 == 0 and H % f == 0 and W % f == 0
+    # _row_class's 0/1/interior/f-2/f-1 slot expansion needs the four edge
+    # classes at distinct positions; f < 5 would silently alias slots.
+    assert f >= 5, f
     assert a_tab.shape == (bsz // 8, hb, 5, (W // f) * 5, 8, C), a_tab.shape
     r = K // 2
     rows = f + 2 * r

@@ -57,7 +57,7 @@ def main():
         "--clstm_unroll",
         type=int,
         default=None,
-        help="eval ConvLSTM scan unroll factor (default: auto, full on TPU)",
+        help="eval ConvLSTM scan unroll factor (default 1; full unroll measured slower on TPU)",
     )
     p.add_argument("--train_step", action="store_true", help="bench the GAN train step instead")
     p.add_argument("--remat", action="store_true", help="rematerialized G forward (train bench)")

@@ -1,7 +1,8 @@
 """On-TPU correctness check for the Pallas serving-kernel decoder paths.
 
 Runs the full 128^2 generate() with each staged kernel configuration vs the
-dense XLA path (same params, same inputs) and prints the max-abs pixel delta
+dense XLA path (pallas_heads=False — genuinely no Pallas anywhere, not the
+auto-on flat head) and prints the max-abs pixel delta
 as ONE device-reduced scalar per variant (device->host fetch on the axon
 tunnel is ~KB/s, so nothing bigger crosses the wire). The kernels replace
 relu(SPADE_eval(h)) (+ the few-out RGB convs) with folded compact-table
@@ -22,11 +23,17 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = {
-    "dense": {},
+    "dense": {"pallas_heads": False},  # pure XLA path, NO Pallas anywhere
     "apply8": {"pallas_apply8": True},
     "compact": {"pallas_compact_heads": True},
     "apply8+compact": {"pallas_apply8": True, "pallas_compact_heads": True},
     "grouped": {"pallas_grouped_heads": True},
+    # production auto-on defaults: flat Pallas heads + apply8 + compact + grouped
+    "all": {
+        "pallas_apply8": True,
+        "pallas_compact_heads": True,
+        "pallas_grouped_heads": True,
+    },
 }
 
 
@@ -34,7 +41,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument(
         "--variants",
-        default="apply8,compact,apply8+compact",
+        default="apply8,compact,apply8+compact,grouped,all",
         help="comma-separated subset of: " + ",".join(k for k in VARIANTS if k != "dense"),
     )
     args = p.parse_args()

@@ -418,8 +418,6 @@ class LayoutEncoder(nn.Module):
         )
 
         # ---- c3 on the type grid: V3[a, b, C]
-        # z2 padded with a zero row/col at index 12 for OOB taps
-        z2p = jnp.pad(z2, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
         idxR = jnp.where(winKR > 0, winKR - 1, 12)  # (B, O, 14, 4)
         w3 = self.c3.kernel.astype(dtype)  # (4, 4, 2d, 4d)
         n = b * o
@@ -430,13 +428,16 @@ class LayoutEncoder(nn.Module):
         if self.pallas_typed:
             # ---- Pallas back half: gather + c3-on-types + bn3/relu +
             # expansion, G objects per program with block-diagonal one-hot
-            # selectors so every stage is one K>=104 matmul (the XLA einsum
+            # selectors so every stage is a K>=96 matmul (the XLA einsum
             # forms lower to batched-convolution fusions + layout copies,
             # measured ~10 ms at b=128, O=10 — as much as the dense c3
             # they replace; the round-2 per-object-loop kernel was MXU
-            # tile-quantization bound at 5.8 ms)
+            # tile-quantization bound at 5.8 ms; the round-3 v3 kernel's
+            # two in-kernel transposes cost 3 ms — the transpose-free v4
+            # measured 6.95 vs 8.56 ms isolated, 2,935 -> 3,058 img/s
+            # end-to-end with the raw-12x12 input)
             from aglayout_tpu.ops.pallas_typed_expand import (
-                typed_c3_expand,
+                typed_c3_expand_v4,
                 typed_c3_inputs_from_windows,
             )
 
@@ -447,12 +448,16 @@ class LayoutEncoder(nn.Module):
                 sel3C.reshape(n, s3),
             )
             ab = jnp.stack([a3, b3], axis=1).astype(jnp.float32)  # (n, 2, 4d)
-            return typed_c3_expand(
-                z2p.reshape(n, 13, 13, c2d).astype(dtype),
+            # raw 12x12 grid: v4 maps OOB taps to zero selector rows, so the
+            # zero-row/col pad of the XLA fallback is never materialized
+            return typed_c3_expand_v4(
+                z2.reshape(n, 12, 12, c2d).astype(dtype),
                 idx_k, lsel_k, selr_k, selc_k, ab, w3t.astype(dtype),
             )
 
         # ---- XLA fallback (CPU tests): same math as einsums/matmuls
+        # z2 padded with a zero row/col at index 12 for OOB taps
+        z2p = jnp.pad(z2, ((0, 0), (0, 0), (0, 1), (0, 1), (0, 0)))
         # row-gather: Z1[o, a, h, l, c] = z2p[idxR[a, h], l, c]
         Z1 = jnp.take_along_axis(
             z2p[:, :, :, None],  # (B, O, 13, 1, 13, 2d)

@@ -46,6 +46,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 NA = 14  # row/col window-type candidates on the output grid
 NL = 13  # input-type candidates (12 + zero row for OOB taps)
+NZ = 12  # real input types (v4 consumes the unpadded 12x12 grid; OOB taps
+#          are all-zero selector rows instead of reads of a padded zero row)
 KW = 4  # c3 kernel size
 NAP = 16  # padded per-object row-type stride (8-aligned; 16*NL = 208)
 
@@ -223,6 +225,177 @@ def typed_c3_expand(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(z2p, ohbd, hcbd, ecbd, erbd, ab, w3t.astype(dt))
+    return out
+
+
+def _kernel_v4(
+    z2p_ref,  # (G, NZ, NZ, c2) bf16 (unpadded 12x12 type grid)
+    ohbd_ref,  # (1, KW, NA*G, G*NZ) bf16 row-window selectors, rows (a, g)
+    hsel_ref,  # (1, KW, G*NA, G*NZ) bf16 per-w col-window selectors, rows (g, b)
+    ecol_ref,  # (1, G*S3, G*NA) bf16 block-diag col-type expansion, rows (g, x)
+    erow_ref,  # (1, G*S3, NA*G) bf16 row-type expansion, rows (g, y), cols (a, g)
+    ab_ref,  # (G, 2, c4) f32: bn3 eval affine (a, b)
+    w3t_ref,  # (KW * c2, KW * c4): ((h, c), (w, C))
+    out_ref,  # (G, S3, S3, c4)
+    *,
+    G: int,
+    S3: int,
+    c2: int,
+    c4: int,
+):
+    """Transpose-free v4 (round 4). The v3 kernel's cost was its two
+    in-kernel batched transposes (wzts 1.7 ms, m1t 1.3 ms measured — the
+    row-type index `a` alternates between rows and columns across stages,
+    and Mosaic's sublane transpose runs at ~80 GB/s). Here the selector row
+    order puts the row-type FIRST — rows (a, g) — and the NA row types are
+    a static Python loop, so every stage is a contiguous static row slice +
+    matmul, and the only reshapes are free row-major views (split of a
+    minor column factor into rows, or merge of minor rows into columns):
+
+      zm_h  = ohbd_h @ zf          rows (a, g) -> free view (a, g, l)
+      w3z   = sum_h zmr_h @ w3t_h  rows (a, g, l), cols (w, C)
+      per a (static):   blk = w3z[a]          rows (g, l)  [contiguous]
+        v3_a  = sum_w hsel_w @ blk[:, wC]     rows (g, b)
+        v3r_a = relu(v3_a * A3 + B3)
+        m1_a  = ecol @ v3r_a                  rows (g, x)
+        M[a]  = m1_a            (free: scratch row block, rows (a, g))
+      out   = erow @ M.view(NA*G, S3*c4)      rows (g, y), cols (x, C)
+
+    Same FLOPs as v3 (every dot K >= 96), zero transposes, and no NAP row
+    padding (the (a, g, l) blocks are G*NZ = 96 rows, already 8-aligned),
+    which also trims 2/16 of the stage-1/2 work. v4 also consumes the RAW
+    12x12 type grid — OOB taps (idxR == 12, lsel >= 12) map to all-zero
+    selector rows instead of reads of a padded zero row/col, killing the
+    XLA-side pad of the (n, 12, 12, c2) tensor entirely.
+    """
+    cdtype = z2p_ref.dtype
+    zf = z2p_ref[...].reshape(G * NZ, NZ * c2)  # rows (g, r), cols (l, c)
+
+    # ---- gather + c3 contraction: w3z rows (a, g, l), cols (w, C)
+    w3z = None
+    for h in range(KW):
+        zm = jax.lax.dot_general(
+            ohbd_ref[0, h],
+            zf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (NA*G, NZ*c2) rows (a, g)
+        zmr = zm.reshape(NA * G * NZ, c2).astype(cdtype)  # free view
+        part = jax.lax.dot_general(
+            zmr,
+            w3t_ref[h * c2 : (h + 1) * c2, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (NA*G*NZ, KW*c4)
+        w3z = part if w3z is None else w3z + part
+    w3z = w3z.astype(cdtype)
+
+    # bn3 eval affine per (g, C), broadcast over the b rows
+    a3 = jnp.broadcast_to(ab_ref[:, 0][:, None, :], (G, NA, c4)).reshape(G * NA, c4)
+    b3 = jnp.broadcast_to(ab_ref[:, 1][:, None, :], (G, NA, c4)).reshape(G * NA, c4)
+
+    # ---- per row-type a: col windows -> bn3/relu -> col expansion
+    m_rows = []
+    for a in range(NA):
+        blk = w3z[a * G * NZ : (a + 1) * G * NZ]  # (G*NZ, KW*c4) rows (g, l)
+        v3 = None
+        for w in range(KW):
+            piece = jax.lax.dot_general(
+                hsel_ref[0, w],
+                blk[:, w * c4 : (w + 1) * c4],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (G*NA, c4) rows (g, b)
+            v3 = piece if v3 is None else v3 + piece
+        v3r = jnp.maximum(v3 * a3 + b3, 0.0).astype(cdtype)
+        m1 = jax.lax.dot_general(
+            ecol_ref[0],
+            v3r,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G*S3, c4) rows (g, x)
+        m_rows.append(m1.astype(cdtype).reshape(G, S3 * c4))  # free view
+    M = jnp.concatenate(m_rows, 0)  # (NA*G, S3*c4) rows (a, g)
+
+    # ---- row expansion + store: out rows (g, y), cols (x, C)
+    out = jax.lax.dot_general(
+        erow_ref[0],
+        M,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G*S3, S3*c4)
+    out_ref[...] = out.reshape(G, S3, S3, c4).astype(out_ref.dtype)
+
+
+def typed_c3_expand_v4(
+    z2p, idxR, lsel, selR, selC, ab, w3t, *, interpret: bool = False, group: int = 8
+):
+    """Transpose-free typed c3 + bn3 + relu + dense expansion (see
+    _kernel_v4). Same contract as typed_c3_expand, except z2p may be the
+    RAW (n, 12, 12, c2) grid — a padded (n, 13, 13, c2) input is sliced
+    back down (both idxR == 12 and lsel in {12, 13} select zero)."""
+    n, nl, _, c2 = z2p.shape
+    assert nl in (NZ, NL), nl
+    if nl == NL:
+        z2p = z2p[:, :NZ, :NZ]
+    s3 = selR.shape[1]
+    c4 = ab.shape[2]
+    g = group
+    while n % g:
+        g -= 1
+    dt = z2p.dtype
+
+    def gband(x):
+        return x.reshape(n // g, g, *x.shape[1:])
+
+    goff = jnp.arange(g, dtype=jnp.int32)
+
+    # row-window selectors, rows (a, g): col class g*NZ + idxR when
+    # idxR < NZ (12 = the reference path's zero row -> all-zero row here)
+    ib = gband(idxR).transpose(0, 2, 1, 3)  # (n/g, NA, g, KW)
+    cls = jnp.where(ib < NZ, ib + (goff * NZ)[None, None, :, None], g * NZ)
+    ohbd = jax.nn.one_hot(cls, g * NZ, dtype=dt)  # (n/g, NA, g, KW, g*NZ)
+    ohbd = ohbd.transpose(0, 3, 1, 2, 4).reshape(n // g, KW, NA * g, g * NZ)
+
+    # per-w col-window selectors, rows (g, b): one 1 at col g*NZ + lsel
+    # when lsel < NZ (12 = zero col, 13 = OOB -> all-zero row either way)
+    lb = gband(lsel)  # (n/g, g, NA, KW)
+    hcls = jnp.where(lb < NZ, lb + (goff * NZ)[None, :, None, None], g * NZ)
+    hsel = jax.nn.one_hot(hcls, g * NZ, dtype=dt)  # (n/g, g, NA, KW, g*NZ)
+    hsel = hsel.transpose(0, 3, 1, 2, 4).reshape(n // g, KW, g * NA, g * NZ)
+
+    # col-type expansion, rows (g, x), cols (g, b)
+    ecol = jax.nn.one_hot(
+        gband(selC) + (goff * NA)[None, :, None], g * NA, dtype=dt
+    ).reshape(n // g, g * s3, g * NA)
+    # row-type expansion, rows (g, y), cols (a, g)
+    erow = jax.nn.one_hot(
+        gband(selR) * g + goff[None, :, None], NA * g, dtype=dt
+    ).reshape(n // g, g * s3, NA * g)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_v4, G=g, S3=s3, c2=c2, c4=c4),
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((g, NZ, NZ, c2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, KW, NA * g, g * NZ), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, KW, g * NA, g * NZ), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, g * s3, g * NA), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * s3, NA * g), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 2, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (g, s3, s3, c4), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, s3, s3, c4), z2p.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(z2p, ohbd, hsel, ecol, erow, ab, w3t.astype(dt))
     return out
 
 

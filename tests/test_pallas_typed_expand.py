@@ -5,13 +5,20 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from aglayout_tpu.ops.pallas_typed_expand import KW, NA, NL, typed_c3_expand
+from aglayout_tpu.ops.pallas_typed_expand import (
+    KW,
+    NA,
+    NL,
+    typed_c3_expand,
+    typed_c3_expand_v4,
+)
 
 pytestmark = pytest.mark.quick
 
 
+@pytest.mark.parametrize("kernel", [typed_c3_expand, typed_c3_expand_v4])
 @pytest.mark.parametrize("n,s3,c2,c4,group", [(8, 32, 128, 256, 8), (6, 16, 128, 256, 4)])
-def test_typed_c3_expand_matches_einsum(n, s3, c2, c4, group):
+def test_typed_c3_expand_matches_einsum(n, s3, c2, c4, group, kernel):
     rng = np.random.RandomState(0)
     z2p = rng.randn(n, NL, NL, c2).astype(np.float32)
     z2p[:, NL - 1] = 0.0
@@ -25,7 +32,7 @@ def test_typed_c3_expand_matches_einsum(n, s3, c2, c4, group):
     w3 = rng.randn(KW, KW, c2, c4).astype(np.float32) * 0.05
     w3t = w3.transpose(0, 2, 1, 3).reshape(KW * c2, KW * c4)
 
-    got = typed_c3_expand(
+    got = kernel(
         jnp.asarray(z2p), jnp.asarray(idxR), jnp.asarray(lsel),
         jnp.asarray(selR), jnp.asarray(selC), jnp.asarray(ab), jnp.asarray(w3t),
         interpret=True, group=group,

@@ -237,6 +237,7 @@ def _kernel_v4(
     ab_ref,  # (G, 2, c4) f32: bn3 eval affine (a, b)
     w3t_ref,  # (KW * c2, KW * c4): ((h, c), (w, C))
     out_ref,  # (G, S3, S3, c4)
+    m_ref,  # VMEM scratch (NA, G, S3*c4): the half-expanded M, rows (a, g)
     *,
     G: int,
     S3: int,
@@ -295,7 +296,6 @@ def _kernel_v4(
     b3 = jnp.broadcast_to(ab_ref[:, 1][:, None, :], (G, NA, c4)).reshape(G * NA, c4)
 
     # ---- per row-type a: col windows -> bn3/relu -> col expansion
-    m_rows = []
     for a in range(NA):
         blk = w3z[a * G * NZ : (a + 1) * G * NZ]  # (G*NZ, KW*c4) rows (g, l)
         v3 = None
@@ -314,13 +314,12 @@ def _kernel_v4(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (G*S3, c4) rows (g, x)
-        m_rows.append(m1.astype(cdtype).reshape(G, S3 * c4))  # free view
-    M = jnp.concatenate(m_rows, 0)  # (NA*G, S3*c4) rows (a, g)
+        m_ref[a] = m1.astype(cdtype).reshape(G, S3 * c4)  # free view
 
     # ---- row expansion + store: out rows (g, y), cols (x, C)
     out = jax.lax.dot_general(
         erow_ref[0],
-        M,
+        m_ref[...].reshape(NA * G, S3 * c4),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (G*S3, S3*c4)
@@ -393,6 +392,7 @@ def typed_c3_expand_v4(
             (g, s3, s3, c4), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((n, s3, s3, c4), z2p.dtype),
+        scratch_shapes=[pltpu.VMEM((NA, g, s3 * c4), dt)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
     )(z2p, ohbd, hsel, ecol, erow, ab, w3t.astype(dt))

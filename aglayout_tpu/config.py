@@ -71,6 +71,11 @@ class Config:
     # delta 0 vs the flat-head path) and measured 2,826 -> 2,868 img/s at
     # 128^2 b=128; engages only where B%8==0 and C%128==0 (the c7 head).
     pallas_grouped_heads: bool | None = None
+    # fused 8x8 residual-trunk kernel on the eval path (the layout
+    # encoder's 6 post-ConvLSTM resblocks in one Pallas program; at serving
+    # shapes the 12-conv XLA graph is per-op-latency tail). None = auto
+    # (TPU only). Exact-parity: skip chain f32, convs bf16, as dense.
+    pallas_trunk: bool | None = None
     # eval-mode lax.scan unroll factor for the object-axis ConvLSTM (exact
     # math). None = 1. Measured on TPU v5e at the 128^2 serving shapes:
     # full unroll is a slight LOSS (2,837 vs 2,857 img/s) — the while-loop

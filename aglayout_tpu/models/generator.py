@@ -232,6 +232,10 @@ class LayoutEncoder(nn.Module):
     # Pallas kernel for the typed-c3 back half (TPU serving; see
     # ops/pallas_typed_expand.py)
     pallas_typed: bool = False
+    # fused 6-resblock 8x8 trunk kernel on the eval path (TPU serving; see
+    # ops/pallas_resblocks.py — the XLA graph of 12 tiny convs is pure
+    # per-op-latency tail at these shapes)
+    pallas_trunk: bool = False
     # opt-in approximate int8 serving: ConvLSTM gate convs through the
     # Pallas int8 kernel (ops/pallas_conv8_int8.py). Serving only.
     int8_serving: bool = False
@@ -549,6 +553,18 @@ class LayoutEncoder(nn.Module):
             h, valid, unroll=self.clstm_eval_unroll if ura else 1
         )  # (B, 8, 8, 64)
 
+        if ura and self.pallas_trunk and self.resi_num > 0 and h.shape[1:3] == (8, 8):
+            from aglayout_tpu.ops.pallas_resblocks import residual_trunk
+
+            w1 = jnp.stack([blk.c1.kernel for blk in self.residuals])
+            w2 = jnp.stack([blk.c2.kernel for blk in self.residuals])
+            ab1 = jnp.stack(
+                [jnp.stack(blk.bn1.eval_affine()) for blk in self.residuals]
+            )
+            ab2 = jnp.stack(
+                [jnp.stack(blk.bn2.eval_affine()) for blk in self.residuals]
+            )
+            return residual_trunk(h.astype(self.dtype or h.dtype), w1, w2, ab1, ab2)
         for block in self.residuals:
             h = block(h, ura)
         return h
@@ -792,6 +808,8 @@ class Generator(nn.Module):
     pallas_compact_heads: bool = False
     # grouped transposed RGB heads (Config.pallas_grouped_heads)
     pallas_grouped_heads: bool = False
+    # fused 8x8 residual-trunk kernel (Config.pallas_trunk)
+    pallas_trunk: bool = False
     # eval-mode lax.scan unroll for the object-axis ConvLSTM (exact)
     clstm_eval_unroll: int = 1
     dtype: jnp.dtype | None = None
@@ -809,6 +827,7 @@ class Generator(nn.Module):
             clstm_dims=clstm_hidden_dims(self.clstm_layers, cd),
             z_dim=self.z_dim,
             pallas_typed=self.pallas_heads,
+            pallas_trunk=self.pallas_trunk,
             int8_serving=self.int8_serving,
             clstm_eval_unroll=self.clstm_eval_unroll,
             dtype=self.dtype,

@@ -185,17 +185,27 @@ class ResidualBlock(nn.Module):
     features: int
     dtype: jnp.dtype | None = None
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not @nn.compact) with the same submodule names so the
+        # parent can read c1/c2 kernels + bn eval affines for the fused
+        # serving trunk (ops/pallas_resblocks.py); param tree is unchanged.
+        self.c1 = Conv2d(
+            self.features, 3, padding=1, use_bias=False, dtype=self.dtype,
+            in_features=self.features,
+        )
+        self.bn1 = MaskedBatchNorm(self.features, dtype=self.dtype)
+        self.c2 = Conv2d(
+            self.features, 3, padding=1, use_bias=False, dtype=self.dtype,
+            in_features=self.features,
+        )
+        self.bn2 = MaskedBatchNorm(self.features, dtype=self.dtype)
+
     def __call__(self, x, use_running_average: bool = False):
-        h = Conv2d(self.features, 3, padding=1, use_bias=False, dtype=self.dtype, name="c1")(x)
-        h = MaskedBatchNorm(self.features, dtype=self.dtype, name="bn1")(
-            h, None, use_running_average
-        )
+        h = self.c1(x)
+        h = self.bn1(h, None, use_running_average)
         h = nn.relu(h)
-        h = Conv2d(self.features, 3, padding=1, use_bias=False, dtype=self.dtype, name="c2")(h)
-        h = MaskedBatchNorm(self.features, dtype=self.dtype, name="bn2")(
-            h, None, use_running_average
-        )
+        h = self.c2(h)
+        h = self.bn2(h, None, use_running_average)
         return x + h
 
 

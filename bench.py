@@ -54,6 +54,11 @@ def main():
         help="grouped transposed RGB heads (no input relayout, compact grouped tables)",
     )
     p.add_argument(
+        "--trunk",
+        action="store_true",
+        help="force the fused 8x8 residual-trunk kernel on (default: auto, on for TPU)",
+    )
+    p.add_argument(
         "--clstm_unroll",
         type=int,
         default=None,
@@ -92,6 +97,7 @@ def main():
         pallas_grouped_heads=True
         if args.grouped_heads
         else (False if args.dense else None),
+        pallas_trunk=True if args.trunk else (False if args.dense else None),
         clstm_unroll=args.clstm_unroll,
     )
     models = Models(cfg)

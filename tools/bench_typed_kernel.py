@@ -31,6 +31,7 @@ def main():
     p.add_argument("--group", type=int, default=8)
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--check", action="store_true", help="also verify v4 == v3 on device")
+    p.add_argument("--only", default=None, help="bench only this variant (v3|v4)")
     args = p.parse_args()
     n, s3, c2, c4 = args.n, args.s3, args.c2, args.c4
 
@@ -57,7 +58,10 @@ def main():
         d = float(jax.jit(lambda a, b: jnp.abs(a - b).max())(a, b))
         print(f"v4-vs-v3 max abs delta: {d:.6g}")
 
-    for name, fn in [("v3", typed_c3_expand), ("v4", typed_c3_expand_v4)]:
+    variants = [("v3", typed_c3_expand), ("v4", typed_c3_expand_v4)]
+    if args.only:
+        variants = [(n_, f_) for n_, f_ in variants if n_ == args.only]
+    for name, fn in variants:
         @jax.jit
         def run(i, fn=fn):
             # scale z2p by a per-iter scalar so the kernel is NOT

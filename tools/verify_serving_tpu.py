@@ -28,11 +28,14 @@ VARIANTS = {
     "compact": {"pallas_compact_heads": True},
     "apply8+compact": {"pallas_apply8": True, "pallas_compact_heads": True},
     "grouped": {"pallas_grouped_heads": True},
-    # production auto-on defaults: flat Pallas heads + apply8 + compact + grouped
+    "trunk": {"pallas_trunk": True},
+    # production auto-on defaults: flat Pallas heads + apply8 + compact +
+    # grouped + fused residual trunk
     "all": {
         "pallas_apply8": True,
         "pallas_compact_heads": True,
         "pallas_grouped_heads": True,
+        "pallas_trunk": True,
     },
 }
 
@@ -41,7 +44,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument(
         "--variants",
-        default="apply8,compact,apply8+compact,grouped,all",
+        default="apply8,compact,apply8+compact,grouped,trunk,all",
         help="comma-separated subset of: " + ",".join(k for k in VARIANTS if k != "dense"),
     )
     args = p.parse_args()
@@ -62,6 +65,7 @@ def main():
         cfg.pallas_apply8 = False
         cfg.pallas_compact_heads = False
         cfg.pallas_grouped_heads = False
+        cfg.pallas_trunk = False
         for k, v in VARIANTS[name].items():
             setattr(cfg, k, v)
         models = Models(cfg)

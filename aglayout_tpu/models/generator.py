@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Tuple
 
+import os
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -437,12 +439,25 @@ class LayoutEncoder(nn.Module):
             # measured ~10 ms at b=128, O=10 — as much as the dense c3
             # they replace; the round-2 per-object-loop kernel was MXU
             # tile-quantization bound at 5.8 ms; the round-3 v3 kernel's
-            # two in-kernel transposes cost 3 ms — the transpose-free v4
-            # measured 6.95 vs 8.56 ms isolated, 2,935 -> 3,058 img/s
-            # end-to-end with the raw-12x12 input)
+            # two in-kernel transposes cost 3 ms; the transpose-free v4
+            # measured 6.71 vs 8.56 ms isolated [2,935 -> 3,058 img/s].
+            # v5 batches v4's 70 small per-row-type dots into two full
+            # dots via a contiguous VMEM repack: 6.47 ms isolated but a
+            # measured ~20 img/s END-TO-END LOSS (3,063 -> 3,041/3,046;
+            # the repack's scratch traffic serializes against the
+            # surrounding ops), so v4 stays the default — see ROOFLINE.md)
             from aglayout_tpu.ops.pallas_typed_expand import (
                 typed_c3_expand_v4,
+                typed_c3_expand_v5,
                 typed_c3_inputs_from_windows,
+            )
+
+            # AGL_TYPED_C3=v5 selects the batched-stage variant for A/B
+            # benching (tools/bench_typed_kernel.py measures them isolated)
+            kernel = (
+                typed_c3_expand_v5
+                if os.environ.get("AGL_TYPED_C3") == "v5"
+                else typed_c3_expand_v4
             )
 
             idx_k, lsel_k, selr_k, selc_k = typed_c3_inputs_from_windows(
@@ -454,7 +469,7 @@ class LayoutEncoder(nn.Module):
             ab = jnp.stack([a3, b3], axis=1).astype(jnp.float32)  # (n, 2, 4d)
             # raw 12x12 grid: v4 maps OOB taps to zero selector rows, so the
             # zero-row/col pad of the XLA fallback is never materialized
-            return typed_c3_expand_v4(
+            return kernel(
                 z2.reshape(n, 12, 12, c2d).astype(dtype),
                 idx_k, lsel_k, selr_k, selc_k, ab, w3t.astype(dtype),
             )

@@ -399,6 +399,185 @@ def typed_c3_expand_v4(
     return out
 
 
+def _kernel_v5(
+    z2p_ref,  # (G, NZ, NZ, c2) bf16 (unpadded 12x12 type grid)
+    ohbd_ref,  # (1, KW, NA*G, G*NZ) bf16 row-window selectors, rows (a, g)
+    hs_ref,  # (1, G*NA, KW*G*NZ) bf16 col-window selectors, rows (g, b), cols (w, g, l)
+    ecol_ref,  # (1, G*S3, G*NA) bf16 block-diag col-type expansion, rows (g, x)
+    erow_ref,  # (1, G*S3, NA*G) bf16 row-type expansion, rows (g, y), cols (a, g)
+    ab_ref,  # (G, 2, c4) f32: bn3 eval affine (a, b)
+    w3t_ref,  # (KW * c2, KW * c4): ((h, c), (w, C))
+    out_ref,  # (G, S3, S3, c4)
+    w3r_ref,  # VMEM scratch (KW*G*NZ, NA*c4): w3z repacked rows (w, g, l), cols (a, C)
+    m_ref,  # VMEM scratch (NA, G, S3*c4): the half-expanded M, rows (a, g)
+    *,
+    G: int,
+    S3: int,
+    c2: int,
+    c4: int,
+):
+    """Batched-stage v5 (round 4). v4 removed the transposes but left the
+    column-window + col-expansion stages as 56 + 14 SMALL dots per program
+    (M=112, K=96/112, N=256) — measured ~2.5 ms of MXU pipeline bubbles at
+    serving shapes (each dot drains the systolic array at K<128). v5 keeps
+    v4's row orders for stages 1/2/5 and repacks w3z once into a VMEM
+    scratch with rows (w, g, l) and cols (a, C) — 56 CONTIGUOUS block
+    copies (vector-rate, no sublane transpose: each (G*NZ, c4) tile moves
+    row-block -> row-block at a column offset) — so that:
+
+      stage 3 is ONE dot: v3  = HS @ W3R       (G*NA, KW*G*NZ)(.., NA*c4)
+      stage 4 is ONE dot: m1  = ecol @ v3r     (G*S3, G*NA)(.., NA*c4)
+      stage 5 feed: m_ref[a] = m1[:, aC]       free row-major views
+
+    Identical FLOPs (the block-diagonal zeros contract exactly as v4's
+    per-a slices), but K=384/112 and N=3584 keep the MXU pipeline full.
+    """
+    cdtype = z2p_ref.dtype
+    zf = z2p_ref[...].reshape(G * NZ, NZ * c2)  # rows (g, r), cols (l, c)
+
+    # ---- gather + c3 contraction: w3z rows (a, g, l), cols (w, C)
+    w3z = None
+    for h in range(KW):
+        zm = jax.lax.dot_general(
+            ohbd_ref[0, h],
+            zf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (NA*G, NZ*c2) rows (a, g)
+        zmr = zm.reshape(NA * G * NZ, c2).astype(cdtype)  # free view
+        part = jax.lax.dot_general(
+            zmr,
+            w3t_ref[h * c2 : (h + 1) * c2, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (NA*G*NZ, KW*c4)
+        w3z = part if w3z is None else w3z + part
+    w3z = w3z.astype(cdtype)
+
+    # ---- repack (a, g, l)x(w, C) -> (w, g, l)x(a, C): contiguous blocks
+    for a in range(NA):
+        blk = w3z[a * G * NZ : (a + 1) * G * NZ]  # (G*NZ, KW*c4) rows (g, l)
+        for w in range(KW):
+            w3r_ref[w * G * NZ : (w + 1) * G * NZ, a * c4 : (a + 1) * c4] = blk[
+                :, w * c4 : (w + 1) * c4
+            ]
+
+    # ---- column windows, ALL row types at once: v3 rows (g, b), cols (a, C)
+    v3 = jax.lax.dot_general(
+        hs_ref[0],
+        w3r_ref[...],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G*NA, NA*c4)
+
+    # bn3 eval affine per (g, C), broadcast over b rows and a columns
+    a3 = jnp.broadcast_to(ab_ref[:, 0][:, None, None, :], (G, NA, NA, c4)).reshape(
+        G * NA, NA * c4
+    )
+    b3 = jnp.broadcast_to(ab_ref[:, 1][:, None, None, :], (G, NA, NA, c4)).reshape(
+        G * NA, NA * c4
+    )
+    v3r = jnp.maximum(v3 * a3 + b3, 0.0).astype(cdtype)
+
+    # ---- col expansion, ALL row types at once: m1 rows (g, x), cols (a, C)
+    m1 = jax.lax.dot_general(
+        ecol_ref[0],
+        v3r,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(cdtype)  # (G*S3, NA*c4)
+    for a in range(NA):
+        m_ref[a] = m1[:, a * c4 : (a + 1) * c4].reshape(G, S3 * c4)  # free view
+
+    # ---- row expansion + store: out rows (g, y), cols (x, C)
+    out = jax.lax.dot_general(
+        erow_ref[0],
+        m_ref[...].reshape(NA * G, S3 * c4),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G*S3, S3*c4)
+    out_ref[...] = out.reshape(G, S3, S3, c4).astype(out_ref.dtype)
+
+
+def typed_c3_expand_v5(
+    z2p, idxR, lsel, selR, selC, ab, w3t, *, interpret: bool = False, group: int = 8
+):
+    """Batched-stage typed c3 + bn3 + relu + dense expansion (see
+    _kernel_v5). Same contract as typed_c3_expand_v4."""
+    n, nl, _, c2 = z2p.shape
+    assert nl in (NZ, NL), nl
+    if nl == NL:
+        z2p = z2p[:, :NZ, :NZ]
+    s3 = selR.shape[1]
+    c4 = ab.shape[2]
+    g = group
+    while n % g:
+        g -= 1
+    dt = z2p.dtype
+
+    def gband(x):
+        return x.reshape(n // g, g, *x.shape[1:])
+
+    goff = jnp.arange(g, dtype=jnp.int32)
+
+    # row-window selectors, rows (a, g) — identical to v4
+    ib = gband(idxR).transpose(0, 2, 1, 3)  # (n/g, NA, g, KW)
+    cls = jnp.where(ib < NZ, ib + (goff * NZ)[None, None, :, None], g * NZ)
+    ohbd = jax.nn.one_hot(cls, g * NZ, dtype=dt)  # (n/g, NA, g, KW, g*NZ)
+    ohbd = ohbd.transpose(0, 3, 1, 2, 4).reshape(n // g, KW, NA * g, g * NZ)
+
+    # merged col-window selector, rows (g, b), cols (w, g, l): one 1 per w
+    # at col w*g*NZ + g*NZ + lsel (OOB lsel -> class g*NZ*KW = all-zero);
+    # distinct w land in distinct column blocks, so the sum cannot collide
+    lb = gband(lsel)  # (n/g, g, NA, KW)
+    wof = jnp.arange(KW, dtype=jnp.int32)
+    hcls = jnp.where(
+        lb < NZ,
+        lb + (goff * NZ)[None, :, None, None] + (wof * (g * NZ))[None, None, None, :],
+        g * NZ * KW,
+    )
+    hs = jax.nn.one_hot(hcls, g * NZ * KW, dtype=dt).sum(3)  # (n/g, g, NA, KW*g*NZ)
+    hs = hs.reshape(n // g, g * NA, KW * g * NZ)
+
+    # col-type expansion, rows (g, x), cols (g, b)
+    ecol = jax.nn.one_hot(
+        gband(selC) + (goff * NA)[None, :, None], g * NA, dtype=dt
+    ).reshape(n // g, g * s3, g * NA)
+    # row-type expansion, rows (g, y), cols (a, g)
+    erow = jax.nn.one_hot(
+        gband(selR) * g + goff[None, :, None], NA * g, dtype=dt
+    ).reshape(n // g, g * s3, NA * g)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_v5, G=g, S3=s3, c2=c2, c4=c4),
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((g, NZ, NZ, c2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, KW, NA * g, g * NZ), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, g * NA, KW * g * NZ), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, g * s3, g * NA), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * s3, NA * g), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 2, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (g, s3, s3, c4), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, s3, s3, c4), z2p.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((KW * g * NZ, NA * c4), dt),
+            pltpu.VMEM((NA, g, s3 * c4), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(z2p, ohbd, hs, ecol, erow, ab, w3t.astype(dt))
+    return out
+
+
 def typed_c3_inputs_from_windows(idxR, winKC, sel3R, sel3C):
     """Adapter from the generator's window arrays to this kernel's inputs:
     winKC in 0..13 with 0 = OOB -> lsel in 0..13 with 13 = OOB."""

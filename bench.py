@@ -75,6 +75,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from aglayout_tpu.utils.cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
 
     from aglayout_tpu.config import config_for
     from aglayout_tpu.models.generator import Generator

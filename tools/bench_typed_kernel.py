@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from aglayout_tpu.utils.cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache()
+
 from aglayout_tpu.ops.pallas_typed_expand import (
     KW, NA, NL, typed_c3_expand, typed_c3_expand_v4, typed_c3_expand_v5,
 )

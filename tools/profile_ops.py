@@ -246,6 +246,8 @@ def main():
 
     import jax
     import jax.numpy as jnp
+    from aglayout_tpu.utils.cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     import numpy as np
 
     from aglayout_tpu.config import config_for

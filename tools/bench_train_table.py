@@ -91,6 +91,8 @@ def _write(out_path: str, rows: list):
         key = f"steps_per_sec_{r['image_size']}_b{r['batch_size']}"
         if r["compute"] == "bf16":
             key += "_bf16"
+        if r.get("remat"):
+            key += "_remat"
         out[key] = r["steps_per_sec"]
     # canonical key consumed by tools/bench_loader.py (f32 64^2 b=8)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)

@@ -449,16 +449,16 @@ class LayoutEncoder(nn.Module):
             from aglayout_tpu.ops.pallas_typed_expand import (
                 typed_c3_expand_v4,
                 typed_c3_expand_v5,
+                typed_c3_expand_v6,
                 typed_c3_inputs_from_windows,
             )
 
-            # AGL_TYPED_C3=v5 selects the batched-stage variant for A/B
+            # AGL_TYPED_C3=v5/v6 selects an alternate variant for A/B
             # benching (tools/bench_typed_kernel.py measures them isolated)
-            kernel = (
-                typed_c3_expand_v5
-                if os.environ.get("AGL_TYPED_C3") == "v5"
-                else typed_c3_expand_v4
-            )
+            kernel = {
+                "v5": typed_c3_expand_v5,
+                "v6": typed_c3_expand_v6,
+            }.get(os.environ.get("AGL_TYPED_C3", ""), typed_c3_expand_v4)
 
             idx_k, lsel_k, selr_k, selc_k = typed_c3_inputs_from_windows(
                 idxR.reshape(n, 14, 4),

@@ -578,6 +578,164 @@ def typed_c3_expand_v5(
     return out
 
 
+def _kernel_v6(
+    z2p_ref,  # (G, NZ, NZ, c2) bf16 (unpadded 12x12 type grid)
+    ohbd_ref,  # (1, KW, NA*G, G*NZ) bf16 row-window selectors, rows (a, g)
+    hs_ref,  # (1, G*NA, KW*G*NZ) bf16 col-window selectors, rows (g, b), cols (w, g, l)
+    ecol_ref,  # (1, G*S3, G*NA) bf16 block-diag col-type expansion, rows (g, x)
+    erow_ref,  # (1, G*S3, NA*G) bf16 row-type expansion, rows (g, y), cols (a, g)
+    ab_ref,  # (G, 2, c4) f32: bn3 eval affine (a, b)
+    w3t_ref,  # (KW * c2, KW * c4): ((h, c), (w, C))
+    out_ref,  # (G, S3, S3, c4)
+    w3r_ref,  # VMEM scratch (KW*G*NZ, c4): ONE row type's repacked block
+    m_ref,  # VMEM scratch (NA, G, S3*c4): the half-expanded M, rows (a, g)
+    *,
+    G: int,
+    S3: int,
+    c2: int,
+    c4: int,
+):
+    """Per-row-type small-scratch repack (round 4). Middle ground between
+    v4 (56 small K=96 stage-3 dots -> MXU drain bubbles) and v5 (one big
+    K=384/N=3584 dot fed by a 2.7 MB scratch repack, which won isolated
+    but LOST end-to-end to scratch-copy serialization). v6 keeps v4's
+    static per-a loop but repacks ONE row type's (G*NZ, KW*c4) block into
+    a reused (KW*G*NZ, c4) scratch (4 contiguous 96x256 copies), turning
+    the 4 K=96 dots into a single K=384 dot per a: 56 -> 14 stage-3 dots
+    with only 192 KB of scratch live at a time."""
+    cdtype = z2p_ref.dtype
+    zf = z2p_ref[...].reshape(G * NZ, NZ * c2)  # rows (g, r), cols (l, c)
+
+    # ---- gather + c3 contraction: w3z rows (a, g, l), cols (w, C)
+    w3z = None
+    for h in range(KW):
+        zm = jax.lax.dot_general(
+            ohbd_ref[0, h],
+            zf,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (NA*G, NZ*c2) rows (a, g)
+        zmr = zm.reshape(NA * G * NZ, c2).astype(cdtype)  # free view
+        part = jax.lax.dot_general(
+            zmr,
+            w3t_ref[h * c2 : (h + 1) * c2, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (NA*G*NZ, KW*c4)
+        w3z = part if w3z is None else w3z + part
+    w3z = w3z.astype(cdtype)
+
+    # bn3 eval affine per (g, C), broadcast over the b rows
+    a3 = jnp.broadcast_to(ab_ref[:, 0][:, None, :], (G, NA, c4)).reshape(G * NA, c4)
+    b3 = jnp.broadcast_to(ab_ref[:, 1][:, None, :], (G, NA, c4)).reshape(G * NA, c4)
+
+    # ---- per row-type a: repack -> ONE K=KW*G*NZ dot -> bn3/relu -> expand
+    for a in range(NA):
+        blk = w3z[a * G * NZ : (a + 1) * G * NZ]  # (G*NZ, KW*c4) rows (g, l)
+        for w in range(KW):
+            w3r_ref[w * G * NZ : (w + 1) * G * NZ, :] = blk[:, w * c4 : (w + 1) * c4]
+        v3 = jax.lax.dot_general(
+            hs_ref[0],
+            w3r_ref[...],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G*NA, c4) rows (g, b)
+        v3r = jnp.maximum(v3 * a3 + b3, 0.0).astype(cdtype)
+        m1 = jax.lax.dot_general(
+            ecol_ref[0],
+            v3r,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (G*S3, c4) rows (g, x)
+        m_ref[a] = m1.astype(cdtype).reshape(G, S3 * c4)  # free view
+
+    # ---- row expansion + store: out rows (g, y), cols (x, C)
+    out = jax.lax.dot_general(
+        erow_ref[0],
+        m_ref[...].reshape(NA * G, S3 * c4),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (G*S3, S3*c4)
+    out_ref[...] = out.reshape(G, S3, S3, c4).astype(out_ref.dtype)
+
+
+def typed_c3_expand_v6(
+    z2p, idxR, lsel, selR, selC, ab, w3t, *, interpret: bool = False, group: int = 8
+):
+    """Per-row-type small-scratch repack typed c3 (see _kernel_v6). Same
+    contract as typed_c3_expand_v4."""
+    n, nl, _, c2 = z2p.shape
+    assert nl in (NZ, NL), nl
+    if nl == NL:
+        z2p = z2p[:, :NZ, :NZ]
+    s3 = selR.shape[1]
+    c4 = ab.shape[2]
+    g = group
+    while n % g:
+        g -= 1
+    dt = z2p.dtype
+
+    def gband(x):
+        return x.reshape(n // g, g, *x.shape[1:])
+
+    goff = jnp.arange(g, dtype=jnp.int32)
+
+    # row-window selectors, rows (a, g) — identical to v4
+    ib = gband(idxR).transpose(0, 2, 1, 3)  # (n/g, NA, g, KW)
+    cls = jnp.where(ib < NZ, ib + (goff * NZ)[None, None, :, None], g * NZ)
+    ohbd = jax.nn.one_hot(cls, g * NZ, dtype=dt)  # (n/g, NA, g, KW, g*NZ)
+    ohbd = ohbd.transpose(0, 3, 1, 2, 4).reshape(n // g, KW, NA * g, g * NZ)
+
+    # merged col-window selector, rows (g, b), cols (w, g, l) — identical to v5
+    lb = gband(lsel)  # (n/g, g, NA, KW)
+    wof = jnp.arange(KW, dtype=jnp.int32)
+    hcls = jnp.where(
+        lb < NZ,
+        lb + (goff * NZ)[None, :, None, None] + (wof * (g * NZ))[None, None, None, :],
+        g * NZ * KW,
+    )
+    hs = jax.nn.one_hot(hcls, g * NZ * KW, dtype=dt).sum(3)  # (n/g, g, NA, KW*g*NZ)
+    hs = hs.reshape(n // g, g * NA, KW * g * NZ)
+
+    # col-type expansion, rows (g, x), cols (g, b)
+    ecol = jax.nn.one_hot(
+        gband(selC) + (goff * NA)[None, :, None], g * NA, dtype=dt
+    ).reshape(n // g, g * s3, g * NA)
+    # row-type expansion, rows (g, y), cols (a, g)
+    erow = jax.nn.one_hot(
+        gband(selR) * g + goff[None, :, None], NA * g, dtype=dt
+    ).reshape(n // g, g * s3, NA * g)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_v6, G=g, S3=s3, c2=c2, c4=c4),
+        grid=(n // g,),
+        in_specs=[
+            pl.BlockSpec((g, NZ, NZ, c2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, KW, NA * g, g * NZ), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, g * NA, KW * g * NZ), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((1, g * s3, g * NA), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * s3, NA * g), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, 2, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (g, s3, s3, c4), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((n, s3, s3, c4), z2p.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((KW * g * NZ, c4), dt),
+            pltpu.VMEM((NA, g, s3 * c4), dt),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
+        interpret=interpret,
+    )(z2p, ohbd, hs, ecol, erow, ab, w3t.astype(dt))
+    return out
+
+
 def typed_c3_inputs_from_windows(idxR, winKC, sel3R, sel3C):
     """Adapter from the generator's window arrays to this kernel's inputs:
     winKC in 0..13 with 0 = OOB -> lsel in 0..13 with 13 = OOB."""

@@ -59,9 +59,12 @@ def load_cooccurrence(cfg: Config):
     return np.ones((cfg.num_classes, cfg.attribute_dim), np.float32)
 
 
-def train(cfg: Config, loader=None, niter: int | None = None, use_tensorboard: bool = True):
+def train(cfg: Config, loader=None, niter: int | None = None, use_tensorboard: bool = True,
+          window_rates: list | None = None):
     """Run training. `loader` defaults to the VG pipeline; pass any iterator
-    of dense batches (e.g. a synthetic one) for smoke runs."""
+    of dense batches (e.g. a synthetic one) for smoke runs. If
+    `window_rates` is a list, per-log-window steps/s are appended to it
+    (consumed by tools/vg_scale_rehearsal.py for steady-state reporting)."""
     dirs = prepare_dirs(cfg)
 
     if loader is None:
@@ -105,6 +108,8 @@ def train(cfg: Config, loader=None, niter: int | None = None, use_tensorboard: b
         if (i + 1) % cfg.log_step == 0:
             m = {k: float(v) for k, v in metrics.items() if k != "images"}
             m["steps_per_sec"] = cfg.log_step / (time.time() - t0)
+            if window_rates is not None:
+                window_rates.append(m["steps_per_sec"])
             t0 = time.time()
             logger.log_stdout(i + 1, niter, m)
         if (i + 1) % cfg.tensorboard_step == 0:

@@ -12,13 +12,15 @@ from aglayout_tpu.ops.pallas_typed_expand import (
     typed_c3_expand,
     typed_c3_expand_v4,
     typed_c3_expand_v5,
+    typed_c3_expand_v6,
 )
 
 pytestmark = pytest.mark.quick
 
 
 @pytest.mark.parametrize(
-    "kernel", [typed_c3_expand, typed_c3_expand_v4, typed_c3_expand_v5]
+    "kernel",
+    [typed_c3_expand, typed_c3_expand_v4, typed_c3_expand_v5, typed_c3_expand_v6],
 )
 @pytest.mark.parametrize("n,s3,c2,c4,group", [(8, 32, 128, 256, 8), (6, 16, 128, 256, 4)])
 def test_typed_c3_expand_matches_einsum(n, s3, c2, c4, group, kernel):

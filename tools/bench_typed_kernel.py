@@ -23,6 +23,7 @@ enable_persistent_compile_cache()
 
 from aglayout_tpu.ops.pallas_typed_expand import (
     KW, NA, NL, typed_c3_expand, typed_c3_expand_v4, typed_c3_expand_v5,
+    typed_c3_expand_v6,
 )
 
 
@@ -58,13 +59,14 @@ def main():
 
     if args.check:
         a = jax.jit(lambda i: typed_c3_expand(**i, group=args.group).astype(jnp.float32))(inputs)
-        for nm, fn in (("v4", typed_c3_expand_v4), ("v5", typed_c3_expand_v5)):
+        for nm, fn in (("v4", typed_c3_expand_v4), ("v5", typed_c3_expand_v5),
+                       ("v6", typed_c3_expand_v6)):
             b = jax.jit(lambda i, fn=fn: fn(**i, group=args.group).astype(jnp.float32))(inputs)
             d = float(jax.jit(lambda a, b: jnp.abs(a - b).max())(a, b))
             print(f"{nm}-vs-v3 max abs delta: {d:.6g}")
 
     variants = [("v3", typed_c3_expand), ("v4", typed_c3_expand_v4),
-                ("v5", typed_c3_expand_v5)]
+                ("v5", typed_c3_expand_v5), ("v6", typed_c3_expand_v6)]
     if args.only:
         variants = [(n_, f_) for n_, f_ in variants if n_ == args.only]
     for name, fn in variants:

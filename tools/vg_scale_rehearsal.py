@@ -116,13 +116,18 @@ def main():
         log_step=50,
     )
     t0 = time.time()
-    _, metrics = train(cfg, niter=args.steps, use_tensorboard=False)
+    _, metrics = train(cfg, niter=args.steps, use_tensorboard=False,
+                       window_rates=(rates := []))
     wall = time.time() - t0
-    # warm-up (first ~50 steps include the step compile) excluded via a
-    # conservative split: total time minus the measured first-log window is
-    # not recoverable here, so report both raw and compile-adjusted numbers
     results["train_wall_s"] = round(wall, 1)
     results["steps_per_sec_incl_compile"] = round(args.steps / wall, 2)
+    # steady state: drop the first two log windows (step compile + loader
+    # warm-up land there) and average the rest
+    steady = rates[2:] if len(rates) > 4 else rates
+    if steady:
+        results["steps_per_sec_steady"] = round(sum(steady) / len(steady), 2)
+        results["steps_per_sec_steady_min"] = round(min(steady), 2)
+        results["steps_per_sec_steady_max"] = round(max(steady), 2)
     results["final_G_loss"] = float(metrics["G/loss"])
     results["final_D_loss"] = float(metrics["D/loss"])
 

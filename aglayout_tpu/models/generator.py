@@ -445,7 +445,9 @@ class LayoutEncoder(nn.Module):
             # dots via a contiguous VMEM repack: 6.47 ms isolated but a
             # measured ~20 img/s END-TO-END LOSS (3,063 -> 3,041/3,046;
             # the repack's scratch traffic serializes against the
-            # surrounding ops), so v4 stays the default — see ROOFLINE.md)
+            # surrounding ops); v6's cheaper 192 KB reused repack loses
+            # the same way (3,056 -> 3,043), so v4 stays the default —
+            # see ROOFLINE.md)
             from aglayout_tpu.ops.pallas_typed_expand import (
                 typed_c3_expand_v4,
                 typed_c3_expand_v5,

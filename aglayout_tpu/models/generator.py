@@ -697,6 +697,12 @@ class Decoder(nn.Module):
                 # compact class tables — no input relayout, no flat-table
                 # assembly (ops/pallas_spade_conv.spade_few_out_conv8)
                 a_tab, b_tab = spade.folded_affine_tables_compact(seg, f)
+                # fb = f-row-blocks per program: fb>1 amortizes the halo DMA
+                # (read amplification 1 + 2r/(fb*f)) and the slot expansion.
+                # AGL_HEAD8_FB overrides for A/B benching.
+                fb = int(os.environ.get("AGL_HEAD8_FB", "1"))
+                if (hh // f) % fb:
+                    fb = 1
                 return spade_few_out_conv8(
                     jnp.transpose(h, (1, 2, 0, 3)),
                     a_tab.astype(h.dtype),
@@ -704,6 +710,7 @@ class Decoder(nn.Module):
                     conv.kernel,
                     conv.bias,
                     f=f,
+                    fb=fb,
                 )
             compact = self.pallas_compact_heads and c % 128 == 0
             if compact:

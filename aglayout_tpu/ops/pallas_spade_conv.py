@@ -289,18 +289,20 @@ def _head8_kernel(
     O: int,
     f: int,
     NB: int,
+    FB: int = 1,
 ):
     i = pl.program_id(0)
     jb = pl.program_id(1)
-    hb = H // f
+    hb = H // (f * FB)  # FB f-row-blocks per program
     r = K // 2
-    rows = f + 2 * r
+    fout = f * FB
+    rows = fout + 2 * r
     guard = _GUARD * 8
 
-    # ---- clipped window DMA: global rows [jb*f - r, jb*f + f + r) ∩ [0, H),
-    # double-buffered ACROSS grid programs: program p (sequential on the
-    # core) issues the DMA for program p+1's window before computing, so
-    # the window transfer has the whole previous program's compute to land
+    # ---- clipped window DMA: global rows [jb*fout - r, jb*fout + fout + r)
+    # ∩ [0, H), double-buffered ACROSS grid programs: program p (sequential
+    # on the core) issues the DMA for program p+1's window before computing,
+    # so the window transfer has the whole previous program's compute to land
     # — in the full model the strided (8-image, 2 KB-chunk) reads contend
     # with surrounding ops and a within-program start/wait leaves the
     # kernel DMA-latency-bound. Dynamic start, static size: the start is
@@ -312,7 +314,7 @@ def _head8_kernel(
     def window_copy(pp, xwr, s):
         ii = pp // hb
         jj = jax.lax.rem(pp, hb)
-        raw = jj * f - r
+        raw = jj * fout - r
         s0 = jnp.clip(raw, 0, H - rows)
         return pltpu.make_async_copy(
             x_any.at[pl.ds(s0, rows), :, pl.ds(ii * 8, 8), :],
@@ -334,18 +336,19 @@ def _head8_kernel(
     def _():
         window_copy(nxt, xw0_ref, 0).start()
 
-    # ---- expand the 11 (block, class) coefficient slots needed by the
-    # window while the DMA is in flight. Slots: 0-4 = block jb classes 0-4;
-    # 5-7 = block jb-1 classes 2-4 (top halo); 8-10 = block jb+1 classes
-    # 0-2 (bottom halo). Neighbor indices are clamped; their values are
-    # never read at the edges (those rows are zeroed as conv padding).
-    jprev = jnp.maximum(jb - 1, 0)
-    jnext = jnp.minimum(jb + 1, hb - 1)
-    slots = [(0 + c, jb, c) for c in range(5)]
-    # top halo rows u<r live in block jb-1 at in-block positions f-r+u;
-    # bottom halo rows u>=f+r live in block jb+1 at positions u-(f+r)
-    slots += [(5 + u, jprev, _row_class(f - r + u, f)) for u in range(r)]
-    slots += [(5 + r + u, jnext, _row_class(u, f)) for u in range(r)]
+    # ---- expand the (block, class) coefficient slots needed by the
+    # window while the DMA is in flight. Slots: 5L+c = local f-block L
+    # (global f-block jb*FB + L) class c; then r top-halo slots from
+    # f-block jb*FB - 1 and r bottom-halo slots from f-block jb*FB + FB.
+    # Neighbor indices are clamped; their values are never read at the
+    # edges (those rows are zeroed as conv padding).
+    jprev = jnp.maximum(jb * FB - 1, 0)
+    jnext = jnp.minimum(jb * FB + FB, H // f - 1)
+    slots = [(5 * L + c, jb * FB + L, c) for L in range(FB) for c in range(5)]
+    # top halo rows u<r live in f-block jb*FB-1 at in-block positions
+    # f-r+u; bottom halo rows u>=fout+r live in f-block jb*FB+FB at u-(fout+r)
+    slots += [(5 * FB + u, jprev, _row_class(f - r + u, f)) for u in range(r)]
+    slots += [(5 * FB + r + u, jnext, _row_class(u, f)) for u in range(r)]
     for slot, jsrc, cls in slots:
         for wb in range(W // f):
             base = wb * f
@@ -359,7 +362,7 @@ def _head8_kernel(
                 b_ref[0, jsrc, cls, wb * 5 + 2], (f - 4, *b_ref.shape[4:])
             )
 
-    raw0 = jb * f - r
+    raw0 = jb * fout - r
     src0 = jnp.clip(raw0, 0, H - rows)
     shift = src0 - raw0  # 0 interior, +r at jb==0, -r at jb==hb-1
 
@@ -367,11 +370,12 @@ def _head8_kernel(
     def apply_rows(xwr):
         for u in range(rows):
             if u < r:
-                slot_u = 5 + u  # block jb-1
-            elif u < f + r:
-                slot_u = _row_class(u - r, f)  # block jb
+                slot_u = 5 * FB + u  # f-block jb*FB-1
+            elif u < fout + r:
+                L = (u - r) // f
+                slot_u = 5 * L + _row_class((u - r) % f, f)  # local f-block L
             else:
-                slot_u = 5 + r + (u - (f + r))  # block jb+1
+                slot_u = 5 * FB + r + (u - (fout + r))  # f-block jb*FB+FB
             iu = jnp.clip(u - shift, 0, rows - 1)
             xa = xwr[pl.ds(iu, 1)][0]
             yw_ref[u] = jnp.maximum(
@@ -410,17 +414,17 @@ def _head8_kernel(
     )
     zt_ref[:, guard : guard + rows * W * 8] = z.astype(zt_ref.dtype)
 
-    # ---- shifted-slice reduction into (O, f*W*8): dx -> 8 lanes, dy -> W*8
-    wpos = (jax.lax.broadcasted_iota(jnp.int32, (O, f * W * 8), 1) // 8) % W
+    # ---- shifted-slice reduction into (O, fout*W*8): dx -> 8 lanes, dy -> W*8
+    wpos = (jax.lax.broadcasted_iota(jnp.int32, (O, fout * W * 8), 1) // 8) % W
     acc = jnp.broadcast_to(
-        bias_ref[0].astype(jnp.float32).reshape(O, 1), (O, f * W * 8)
+        bias_ref[0].astype(jnp.float32).reshape(O, 1), (O, fout * W * 8)
     ).astype(jnp.float32)
     for dy in range(K):
         for dx in range(K):
             t = dy * K + dx
             sx = dx - r
             base = guard + (dy * W + sx) * 8
-            seg = zt_ref[t * O : (t + 1) * O, base : base + f * W * 8].astype(jnp.float32)
+            seg = zt_ref[t * O : (t + 1) * O, base : base + fout * W * 8].astype(jnp.float32)
             if sx > 0:
                 seg = jnp.where(wpos < (W - sx), seg, 0.0)
             elif sx < 0:
@@ -429,8 +433,10 @@ def _head8_kernel(
     out_ref[0, 0] = acc.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("f", "interpret"))
-def spade_few_out_conv8(x_t, a_tab, b_tab, kernel, bias=None, *, f: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("f", "fb", "interpret"))
+def spade_few_out_conv8(
+    x_t, a_tab, b_tab, kernel, bias=None, *, f: int, fb: int = 1, interpret: bool = False
+):
     """Fused [SPADE eval apply -> relu -> few-out KxK conv] consuming the
     TRANSPOSED (H, W, B, C) view of a conv output, 8 images per program.
 
@@ -450,6 +456,12 @@ def spade_few_out_conv8(x_t, a_tab, b_tab, kernel, bias=None, *, f: int, interpr
     a_tab/b_tab: (B//8, H//f, 5, (W//f)*5, 8, C) from
     `SPADE.folded_affine_tables_compact`. kernel: (K, K, C, O) with O <= 8;
     bias: (O,) or None. Returns (B, H, W, O) in x_t.dtype.
+
+    fb: f-row-blocks processed per program. fb > 1 amortizes the halo: the
+    window DMA reads fb*f + 2r rows per fb*f output rows (read
+    amplification 1 + 2r/(fb*f)), the kn2row matmul shrinks by the same
+    factor, and the per-program coefficient-slot expansion is shared
+    across the fb blocks. Needs (H//f) % fb == 0.
     """
     H, W, bsz, C = x_t.shape
     K = kernel.shape[0]
@@ -462,8 +474,10 @@ def spade_few_out_conv8(x_t, a_tab, b_tab, kernel, bias=None, *, f: int, interpr
     # classes at distinct positions; f < 5 would silently alias slots.
     assert f >= 5, f
     assert a_tab.shape == (bsz // 8, hb, 5, (W // f) * 5, 8, C), a_tab.shape
+    assert hb % fb == 0, (hb, fb)
     r = K // 2
-    rows = f + 2 * r
+    fout = f * fb
+    rows = fout + 2 * r
     assert H >= rows, (H, rows)
 
     w_flat = (
@@ -476,8 +490,10 @@ def spade_few_out_conv8(x_t, a_tab, b_tab, kernel, bias=None, *, f: int, interpr
         memory_space=pltpu.VMEM,
     )
     out = pl.pallas_call(
-        functools.partial(_head8_kernel, H=H, W=W, C=C, K=K, O=O, f=f, NB=bsz // 8),
-        grid=(bsz // 8, hb),
+        functools.partial(
+            _head8_kernel, H=H, W=W, C=C, K=K, O=O, f=f, NB=bsz // 8, FB=fb
+        ),
+        grid=(bsz // 8, hb // fb),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             tab_spec,
@@ -486,24 +502,24 @@ def spade_few_out_conv8(x_t, a_tab, b_tab, kernel, bias=None, *, f: int, interpr
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, O, f * W * 8), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
+            (1, 1, O, fout * W * 8), lambda i, j: (i, j, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((bsz // 8, hb, O, f * W * 8), x_t.dtype),
+        out_shape=jax.ShapeDtypeStruct((bsz // 8, hb // fb, O, fout * W * 8), x_t.dtype),
         scratch_shapes=[
             pltpu.VMEM((rows, W, 8, C), x_t.dtype),
             pltpu.VMEM((rows, W, 8, C), x_t.dtype),
             pltpu.VMEM((rows, W, 8, C), x_t.dtype),
             pltpu.VMEM((K * K * O, 2 * _GUARD * 8 + rows * W * 8), x_t.dtype),
-            pltpu.VMEM((5 + 2 * r, W, 8, C), x_t.dtype),
-            pltpu.VMEM((5 + 2 * r, W, 8, C), x_t.dtype),
+            pltpu.VMEM((5 * fb + 2 * r, W, 8, C), x_t.dtype),
+            pltpu.VMEM((5 * fb + 2 * r, W, 8, C), x_t.dtype),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(x_t, a_tab, b_tab, w_flat, bias.reshape(1, O))
-    # (B//8, HB, O, f, W, 8) -> (B, H, W, O)
+    # (B//8, HB//fb, O, fb*f, W, 8) -> (B, H, W, O)
     return (
-        out.reshape(bsz // 8, hb, O, f, W, 8)
+        out.reshape(bsz // 8, hb // fb, O, fout, W, 8)
         .transpose(0, 5, 1, 3, 4, 2)
         .reshape(bsz, H, W, O)
     )

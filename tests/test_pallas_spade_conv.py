@@ -126,6 +126,16 @@ def test_head8_matches_dense(b, H, C, hs, K):
     )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-3, atol=5e-3)
 
+    # multi-row-block variant (fb=2): same math, halved halo amplification
+    if hs % 2 == 0:
+        got2 = spade_few_out_conv8(
+            jnp.transpose(x, (1, 2, 0, 3)),
+            a_c, b_c, kern, bias, f=f, fb=2, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got2), np.asarray(got), rtol=0, atol=0
+        )
+
 
 def test_spade_apply_t_matches_dense():
     """spade_apply_t == relu(SPADE_eval(x, seg)) on the (H,W,B,C) view."""

@@ -76,6 +76,11 @@ class Config:
     # shapes the 12-conv XLA graph is per-op-latency tail). None = auto
     # (TPU only). Exact-parity: skip chain f32, convs bf16, as dense.
     pallas_trunk: bool | None = None
+    # phase-decomposed eval dc1..dc3 (ops/phase_deconv.py): the lhs-dilated
+    # ConvTranspose lowering reads 4x structural zeros at 8^2..32^2 spatial;
+    # the exact parity split is one MXU-shaped k=2 conv + layout interleave.
+    # None = auto (TPU only); never affects training.
+    phase_dc: bool | None = None
     # eval-mode lax.scan unroll factor for the object-axis ConvLSTM (exact
     # math). None = 1. Measured on TPU v5e at the 128^2 serving shapes:
     # full unroll is a slight LOSS (2,837 vs 2,857 img/s) — the while-loop

@@ -637,6 +637,11 @@ class Decoder(nn.Module):
     # Takes precedence over pallas_compact_heads where its B%8 / C%128
     # alignment gates pass.
     pallas_grouped_heads: bool = False
+    # phase-decomposed dc1..dc3 on the eval path (ops/phase_deconv.py):
+    # the lhs-dilated lowering walks 4x structural zeros at these tiny
+    # spatial sizes; the parity split is one MXU-shaped k=2 conv + a
+    # layout interleave. Exact (same nonzero taps).
+    phase_dc: bool = False
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -644,11 +649,17 @@ class Decoder(nn.Module):
         spade_kw = dict(seg_features=d, nhidden=2 * d, dtype=self.dtype)
         self.c0_new = Conv2d(d * 4, 3, padding=1, use_bias=False, dtype=self.dtype)
         self.spade_0 = SPADE(d * 4, **spade_kw)
-        self.dc1 = ConvTranspose2d(d * 4, 4, 2, 1, use_bias=False, dtype=self.dtype)
+        self.dc1 = ConvTranspose2d(
+            d * 4, 4, 2, 1, use_bias=False, dtype=self.dtype, in_features=d * 4
+        )
         self.spade_1 = SPADE(d * 4, **spade_kw)
-        self.dc2 = ConvTranspose2d(d * 2, 4, 2, 1, use_bias=False, dtype=self.dtype)
+        self.dc2 = ConvTranspose2d(
+            d * 2, 4, 2, 1, use_bias=False, dtype=self.dtype, in_features=d * 4
+        )
         self.spade_2 = SPADE(d * 2, **spade_kw)
-        self.dc3 = ConvTranspose2d(d, 4, 2, 1, use_bias=False, dtype=self.dtype)
+        self.dc3 = ConvTranspose2d(
+            d, 4, 2, 1, use_bias=False, dtype=self.dtype, in_features=d * 2
+        )
         self.spade_3 = SPADE(d, **spade_kw)
         # c4/c5/c6/c7 kernels declared with in_features so the fused Pallas
         # heads (ops/pallas_spade_conv.py, ops/pallas_spade_c6_int8.py) can
@@ -739,13 +750,25 @@ class Decoder(nn.Module):
         h = self.c0_new(h)
         h = self.spade_0(h, seg, ura)
         h = nn.relu(h)
-        h = self.dc1(h)
-        h = self.spade_1(h, seg, ura)
-        h = nn.relu(h)
-        h = self.dc2(h)
-        h = self.spade_2(h, seg, ura)
-        h = nn.relu(h)
-        h = self.dc3(h)
+        if ura and self.phase_dc:
+            from aglayout_tpu.ops.phase_deconv import conv_transpose_phase
+
+            dtype = self.dtype or h.dtype
+            h = conv_transpose_phase(h, self.dc1.kernel, dtype=dtype)
+            h = self.spade_1(h, seg, ura)
+            h = nn.relu(h)
+            h = conv_transpose_phase(h, self.dc2.kernel, dtype=dtype)
+            h = self.spade_2(h, seg, ura)
+            h = nn.relu(h)
+            h = conv_transpose_phase(h, self.dc3.kernel, dtype=dtype)
+        else:
+            h = self.dc1(h)
+            h = self.spade_1(h, seg, ura)
+            h = nn.relu(h)
+            h = self.dc2(h)
+            h = self.spade_2(h, seg, ura)
+            h = nn.relu(h)
+            h = self.dc3(h)
         h_64 = self._head(self.spade_3, self.c4, h, seg, ura)
         if self.image_size == 64:
             return h_64
@@ -835,6 +858,8 @@ class Generator(nn.Module):
     pallas_grouped_heads: bool = False
     # fused 8x8 residual-trunk kernel (Config.pallas_trunk)
     pallas_trunk: bool = False
+    # phase-decomposed eval dc1..dc3 (Config.phase_dc)
+    phase_dc: bool = False
     # eval-mode lax.scan unroll for the object-axis ConvLSTM (exact)
     clstm_eval_unroll: int = 1
     dtype: jnp.dtype | None = None
@@ -864,6 +889,7 @@ class Generator(nn.Module):
             pallas_apply8=self.pallas_apply8,
             pallas_compact_heads=self.pallas_compact_heads,
             pallas_grouped_heads=self.pallas_grouped_heads,
+            phase_dc=self.phase_dc,
             dtype=self.dtype,
         )
         self.global_encoder = GlobalEncoder(dim=2 * cd, dtype=self.dtype)

@@ -114,6 +114,24 @@ class ConvTranspose2d(nn.Module):
     padding: int = 1
     use_bias: bool = True
     dtype: jnp.dtype | None = None
+    # declare the kernel at setup time so fast paths (e.g. the phase-
+    # decomposed eval deconv, ops/phase_deconv.py) can read `.kernel`
+    in_features: int | None = None
+
+    def setup(self):
+        if self.in_features is not None:
+            k = self.kernel_size
+            fan_in = self.features * k * k
+            self.kernel = self.param(
+                "kernel",
+                torch_uniform_init(fan_in),
+                (k, k, self.in_features, self.features),
+                jnp.float32,
+            )
+            if self.use_bias:
+                self.bias = self.param(
+                    "bias", torch_uniform_init(fan_in), (self.features,), jnp.float32
+                )
 
     @nn.compact
     def __call__(self, x):
@@ -121,9 +139,12 @@ class ConvTranspose2d(nn.Module):
         k = self.kernel_size
         # torch computes ConvTranspose fan_in from weight.size(1)*k*k = out*k*k
         fan_in = self.features * k * k
-        kernel = self.param(
-            "kernel", torch_uniform_init(fan_in), (k, k, in_ch, self.features), jnp.float32
-        )
+        if self.in_features is not None:
+            kernel = self.kernel
+        else:
+            kernel = self.param(
+                "kernel", torch_uniform_init(fan_in), (k, k, in_ch, self.features), jnp.float32
+            )
         dtype = self.dtype or x.dtype
         pad = k - 1 - self.padding
         y = jax.lax.conv_general_dilated(
@@ -135,7 +156,12 @@ class ConvTranspose2d(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
-            bias = self.param("bias", torch_uniform_init(fan_in), (self.features,), jnp.float32)
+            if self.in_features is not None:
+                bias = self.bias
+            else:
+                bias = self.param(
+                    "bias", torch_uniform_init(fan_in), (self.features,), jnp.float32
+                )
             y = y + bias.astype(dtype)
         return y
 

@@ -65,6 +65,7 @@ class Models:
             pallas_compact_heads=tpu_auto(cfg.pallas_compact_heads),
             pallas_grouped_heads=tpu_auto(cfg.pallas_grouped_heads),
             pallas_trunk=tpu_auto(cfg.pallas_trunk),
+            phase_dc=tpu_auto(cfg.phase_dc),
             clstm_eval_unroll=cfg.clstm_unroll if cfg.clstm_unroll is not None else 1,
             dtype=dtype,
         )

@@ -59,6 +59,11 @@ def main():
         help="force the fused 8x8 residual-trunk kernel on (default: auto, on for TPU)",
     )
     p.add_argument(
+        "--phase_dc",
+        action="store_true",
+        help="force phase-decomposed eval dc1..dc3 on (default: auto, on for TPU)",
+    )
+    p.add_argument(
         "--clstm_unroll",
         type=int,
         default=None,
@@ -100,6 +105,7 @@ def main():
         if args.grouped_heads
         else (False if args.dense else None),
         pallas_trunk=True if args.trunk else (False if args.dense else None),
+        phase_dc=True if args.phase_dc else (False if args.dense else None),
         clstm_unroll=args.clstm_unroll,
     )
     models = Models(cfg)

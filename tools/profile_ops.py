@@ -265,6 +265,8 @@ def main():
         pallas_grouped_heads=True
         if args.grouped_heads
         else (False if args.dense else None),
+        pallas_trunk=False if args.dense else None,
+        phase_dc=False if args.dense else None,
     )
     models = Models(cfg)
     state = create_train_state(cfg, models, jax.random.PRNGKey(0))

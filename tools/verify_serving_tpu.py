@@ -29,13 +29,15 @@ VARIANTS = {
     "apply8+compact": {"pallas_apply8": True, "pallas_compact_heads": True},
     "grouped": {"pallas_grouped_heads": True},
     "trunk": {"pallas_trunk": True},
+    "phase_dc": {"phase_dc": True},
     # production auto-on defaults: flat Pallas heads + apply8 + compact +
-    # grouped + fused residual trunk
+    # grouped + fused residual trunk + phase-decomposed dc1..dc3
     "all": {
         "pallas_apply8": True,
         "pallas_compact_heads": True,
         "pallas_grouped_heads": True,
         "pallas_trunk": True,
+        "phase_dc": True,
     },
 }
 
@@ -44,7 +46,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument(
         "--variants",
-        default="apply8,compact,apply8+compact,grouped,trunk,all",
+        default="apply8,compact,apply8+compact,grouped,trunk,phase_dc,all",
         help="comma-separated subset of: " + ",".join(k for k in VARIANTS if k != "dense"),
     )
     args = p.parse_args()
@@ -68,6 +70,7 @@ def main():
         cfg.pallas_compact_heads = False
         cfg.pallas_grouped_heads = False
         cfg.pallas_trunk = False
+        cfg.phase_dc = False
         for k, v in VARIANTS[name].items():
             setattr(cfg, k, v)
         models = Models(cfg)

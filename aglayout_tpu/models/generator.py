@@ -774,8 +774,15 @@ class Decoder(nn.Module):
             return h_64
 
         # 128: nearest 2x upsample of the 64-res RGB, then refine
-        up = jnp.repeat(jnp.repeat(h_64, 2, axis=1), 2, axis=2)
-        h = self.c5(up)
+        if ura and self.phase_dc:
+            # upsample folded into c5: per-parity k=4 conv with pair-summed
+            # taps on the 64^2 RGB (ops/phase_deconv.conv_up2_phase)
+            from aglayout_tpu.ops.phase_deconv import conv_up2_phase
+
+            h = conv_up2_phase(h_64, self.c5.kernel, dtype=self.dtype or h_64.dtype)
+        else:
+            up = jnp.repeat(jnp.repeat(h_64, 2, axis=1), 2, axis=2)
+            h = self.c5(up)
         # NOTE int8_serving does NOT reroute c6: the fused int8 kernel
         # (ops/pallas_spade_c6_int8.py) measures 16.3 ms/stage vs 12.3 ms
         # for the exact XLA path — Mosaic's s8xs8->s32 dot runs at only

@@ -49,6 +49,44 @@ def test_phase_equals_dilated_bf16():
 
 
 @pytest.mark.quick
+@pytest.mark.parametrize("s,cin,cout", [(8, 3, 16), (16, 4, 8)])
+def test_up2_phase_equals_dense_f32(s, cin, cout):
+    from aglayout_tpu.ops.phase_deconv import conv_up2_phase
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, s, s, cin).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, cin, cout).astype(np.float32) * 0.1)
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+    ref = jax.lax.conv_general_dilated(
+        up, w, (1, 1), [(3, 3)] * 2, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    got = conv_up2_phase(x, w)
+    assert got.shape == ref.shape == (2, 2 * s, 2 * s, cout)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.quick
+def test_up2_phase_equals_dense_bf16():
+    from aglayout_tpu.ops.phase_deconv import conv_up2_phase
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(2, 8, 8, 3).astype(np.float32))
+    w = jnp.asarray(rng.randn(7, 7, 3, 16).astype(np.float32) * 0.1)
+    up = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2).astype(jnp.bfloat16)
+    ref = jax.lax.conv_general_dilated(
+        up,
+        w.astype(jnp.bfloat16),
+        (1, 1),
+        [(3, 3)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).astype(np.float32)
+    got = conv_up2_phase(x.astype(jnp.bfloat16), w, dtype=jnp.bfloat16).astype(
+        np.float32
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-2, atol=3e-2)
+
+
+@pytest.mark.quick
 def test_decoder_phase_dc_matches_dense():
     """Decoder eval with phase_dc on == off (same params), 128^2 config."""
     from aglayout_tpu.models.generator import Decoder

@@ -78,8 +78,12 @@ class Config:
     pallas_trunk: bool | None = None
     # phase-decomposed eval dc1..dc3 (ops/phase_deconv.py): the lhs-dilated
     # ConvTranspose lowering reads 4x structural zeros at 8^2..32^2 spatial;
-    # the exact parity split is one MXU-shaped k=2 conv + layout interleave.
-    # None = auto (TPU only); never affects training.
+    # the parity split is one MXU-shaped k=2 conv + layout interleave (exact
+    # for dc1..dc3; the folded-upsample c5 path is exact only up to bf16
+    # rounding of its f32 pair-summed taps). None = OFF: a round-4 TPU A/B
+    # measured the auto-on default a 19% serving REGRESSION at 128^2 b=128
+    # (2,550 vs 3,162 img/s — the parity-interleave relayouts dominate);
+    # kept as an opt-in knob for other shapes. Never affects training.
     phase_dc: bool | None = None
     # eval-mode lax.scan unroll factor for the object-axis ConvLSTM (exact
     # math). None = 1. Measured on TPU v5e at the 128^2 serving shapes:
@@ -95,6 +99,11 @@ class Config:
     # accept uniform attribute-swap sampling when matrix_obj_vs_att.npy is
     # missing (otherwise training refuses to start; see train/loop.py)
     allow_uniform_matrix: bool = False
+    # libjpeg DCT-domain scaled decode in the native input path (up to 16x
+    # less decode CPU per image; composed-resample error vs the full-res
+    # PIL-parity path: mean <1/255, hard-edge ringing up to ~30/255 —
+    # tests/test_native.py). Off = bit-parity decode path.
+    fast_decode: bool = True
     # rematerialize the generator forward in the G phase (larger batches)
     remat: bool = False
     # run the generator forward TWICE per step like the reference driver

@@ -140,6 +140,11 @@ class ConvTranspose2d(nn.Module):
         # torch computes ConvTranspose fan_in from weight.size(1)*k*k = out*k*k
         fan_in = self.features * k * k
         if self.in_features is not None:
+            if in_ch != self.in_features:
+                raise ValueError(
+                    f"ConvTranspose2d declared in_features={self.in_features} "
+                    f"but got input with {in_ch} channels (shape {x.shape})"
+                )
             kernel = self.kernel
         else:
             kernel = self.param(

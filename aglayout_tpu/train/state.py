@@ -65,7 +65,10 @@ class Models:
             pallas_compact_heads=tpu_auto(cfg.pallas_compact_heads),
             pallas_grouped_heads=tpu_auto(cfg.pallas_grouped_heads),
             pallas_trunk=tpu_auto(cfg.pallas_trunk),
-            phase_dc=tpu_auto(cfg.phase_dc),
+            # NOT tpu_auto: a round-4 TPU A/B measured auto-on phase_dc a 19%
+            # serving regression (2,550 vs 3,162 img/s at 128^2 b=128), so
+            # None resolves to OFF; pass True explicitly to opt in.
+            phase_dc=bool(cfg.phase_dc),
             clstm_eval_unroll=cfg.clstm_unroll if cfg.clstm_unroll is not None else 1,
             dtype=dtype,
         )

@@ -38,30 +38,32 @@ def main():
         action="store_true",
         help="disable all Pallas serving kernels (XLA-only exact path)",
     )
-    p.add_argument(
-        "--apply8",
-        action="store_true",
-        help="force the Pallas SPADE-4 apply kernel on (default: auto, on for TPU)",
+    # Per-kernel tri-state switches: --<k> forces on, --no_<k> forces that one
+    # kernel off (independent bisection from the CLI), neither = auto
+    # (--dense still force-disables everything at once).
+    def kernel_flag(name, help_on):
+        g = p.add_mutually_exclusive_group()
+        g.add_argument(f"--{name}", action="store_true", help=help_on)
+        g.add_argument(
+            f"--no_{name}",
+            action="store_true",
+            help=f"force {name} off (independent of the other kernels)",
+        )
+
+    kernel_flag("heads", "force the Pallas fused RGB-head kernels on")
+    kernel_flag("apply8", "force the Pallas SPADE-4 apply kernel on (default: auto, on for TPU)")
+    kernel_flag(
+        "compact_heads",
+        "force compact class-resolution RGB-head tables on (default: auto, on for TPU)",
     )
-    p.add_argument(
-        "--compact_heads",
-        action="store_true",
-        help="force compact class-resolution RGB-head tables on (default: auto, on for TPU)",
+    kernel_flag(
+        "grouped_heads",
+        "grouped transposed RGB heads (no input relayout, compact grouped tables)",
     )
-    p.add_argument(
-        "--grouped_heads",
-        action="store_true",
-        help="grouped transposed RGB heads (no input relayout, compact grouped tables)",
-    )
-    p.add_argument(
-        "--trunk",
-        action="store_true",
-        help="force the fused 8x8 residual-trunk kernel on (default: auto, on for TPU)",
-    )
-    p.add_argument(
-        "--phase_dc",
-        action="store_true",
-        help="force phase-decomposed eval dc1..dc3 on (default: auto, on for TPU)",
+    kernel_flag("trunk", "force the fused 8x8 residual-trunk kernel on (default: auto, on for TPU)")
+    kernel_flag(
+        "phase_dc",
+        "force phase-decomposed eval dc1..dc3 on (default OFF: 19% TPU regression at 128^2)",
     )
     p.add_argument(
         "--clstm_unroll",
@@ -87,6 +89,14 @@ def main():
     from aglayout_tpu.models.generator import Generator
     from aglayout_tpu.train.state import Models, create_train_state
 
+    # tri-state resolution: --<k> on > --no_<k>/--dense off > None = auto
+    def tri(name):
+        if getattr(args, name):
+            return True
+        if getattr(args, f"no_{name}") or args.dense:
+            return False
+        return None
+
     cfg = config_for(
         args.image_size,
         batch_size=args.batch_size,
@@ -95,17 +105,12 @@ def main():
         remat=args.remat,
         double_g_forward=args.double_g_forward,
         int8_serving=args.int8,
-        # tri-state: flag forces on, --dense forces off, neither = auto (TPU)
-        pallas_heads=False if args.dense else None,
-        pallas_apply8=True if args.apply8 else (False if args.dense else None),
-        pallas_compact_heads=True
-        if args.compact_heads
-        else (False if args.dense else None),
-        pallas_grouped_heads=True
-        if args.grouped_heads
-        else (False if args.dense else None),
-        pallas_trunk=True if args.trunk else (False if args.dense else None),
-        phase_dc=True if args.phase_dc else (False if args.dense else None),
+        pallas_heads=tri("heads"),
+        pallas_apply8=tri("apply8"),
+        pallas_compact_heads=tri("compact_heads"),
+        pallas_grouped_heads=tri("grouped_heads"),
+        pallas_trunk=tri("trunk"),
+        phase_dc=tri("phase_dc"),
         clstm_unroll=args.clstm_unroll,
     )
     models = Models(cfg)

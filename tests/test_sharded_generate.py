@@ -65,8 +65,9 @@ def test_sharded_generate_matches_single_device():
 def test_sharded_generate_128_phase_dc_matches_single_device():
     """phase_dc (parity-split dc1..dc3 + folded-up2 c5) composes with the
     batch-sharded generate: pure conv/layout ops, so GSPMD shards them on
-    batch with no collectives. Guards the serving config the TPU driver
-    runs (phase_dc auto-on there) at 128^2."""
+    batch with no collectives. phase_dc is opt-in (default OFF after the
+    round-4 TPU A/B measured it a regression); this guards the opt-in
+    config at 128^2."""
     cfg = Config(
         batch_size=8,
         max_objects=3,

@@ -8,6 +8,7 @@ convention (train64.py:69-79): {path}/all/{logs,models,samples,results}/{exp}.
 from __future__ import annotations
 
 import os
+import signal
 import time
 
 import jax
@@ -96,12 +97,35 @@ def train(cfg: Config, loader=None, niter: int | None = None, use_tensorboard: b
     it = iter(loader)
     t0 = time.time()
     metrics = {}
+
+    # Preemption-signal save (SURVEY.md §5.3): the reference's elasticity
+    # model is SLURM 24h-limit + resubmit (reference script.py:20), losing up
+    # to save_step=500 steps per preemption. Here SIGTERM/SIGINT set a flag;
+    # the loop finishes the in-flight step, saves a final checkpoint, and
+    # returns cleanly so `--resume l` continues at the interrupted step.
+    preempted = {"sig": None}
+
+    def _on_signal(signum, frame):
+        preempted["sig"] = signum
+
+    prev_handlers = {
+        s: signal.signal(s, _on_signal) for s in (signal.SIGTERM, signal.SIGINT)
+    }
+
     # one-batch device prefetch: device_put is async, so the next batch's
     # host->device transfer overlaps the current step's compute
     pending = shard_batch(next(it), mesh)
     for i in range(start, niter):
         batch = pending
         state, metrics = sharded_step(state, batch)
+        if preempted["sig"] is not None:
+            save_state(dirs["models"], i + 1, state, cfg.save_num)
+            print(
+                f"[preempt] signal {preempted['sig']}: saved checkpoint at "
+                f"step {i + 1}, exiting",
+                flush=True,
+            )
+            break
         if i + 1 < niter:
             pending = shard_batch(next(it), mesh)
 
@@ -142,5 +166,7 @@ def train(cfg: Config, loader=None, niter: int | None = None, use_tensorboard: b
         if (i + 1) % cfg.save_step == 0:
             save_state(dirs["models"], i + 1, state, cfg.save_num)
 
+    for s, h in prev_handlers.items():
+        signal.signal(s, h)
     logger.close()
     return state, metrics

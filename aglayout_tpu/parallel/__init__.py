@@ -3,5 +3,6 @@ from aglayout_tpu.parallel.mesh import (
     batch_sharding,
     replicated,
     shard_batch,
+    make_sharded_generate,
     make_sharded_train_step,
 )

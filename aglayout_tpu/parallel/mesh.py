@@ -22,11 +22,24 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def maybe_init_distributed():
-    """Multi-host init over DCN when launched under a multi-process runtime."""
+    """Multi-host init over DCN when launched under a multi-process runtime.
+
+    Cluster launchers (SLURM, GKE) are auto-detected by
+    `jax.distributed.initialize()`; for manual launches set
+    JAX_COORDINATOR_ADDRESS plus JAX_NUM_PROCESSES / JAX_PROCESS_ID (jax
+    itself only auto-reads the coordinator address — the process count and
+    id must be passed explicitly, which this hook does from the env).
+    Exercised by tests/test_multihost.py with a real 2-process CPU cluster.
+    """
     import os
 
     if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+        num = os.environ.get("JAX_NUM_PROCESSES")
+        pid = os.environ.get("JAX_PROCESS_ID")
+        jax.distributed.initialize(
+            num_processes=int(num) if num is not None else None,
+            process_id=int(pid) if pid is not None else None,
+        )
 
 
 def make_mesh(num_devices: int = 0, axis: str = "data") -> Mesh:

@@ -219,6 +219,7 @@ class Loader:
         num_threads: int = 4,
         prefetch: int = 4,
         drop_last: bool = True,
+        fast_decode: bool = True,
     ):
         self.ds = dataset
         self.batch_size = batch_size
@@ -227,6 +228,7 @@ class Loader:
         self.num_threads = num_threads
         self.prefetch = prefetch
         self.drop_last = drop_last
+        self.fast_decode = fast_decode
 
     def __len__(self):
         n = len(self.ds)
@@ -258,7 +260,9 @@ class Loader:
                 os.path.join(self.ds.image_dir, self.ds.image_paths[int(i)])
                 for i in idxs
             ]
-            dec, dims, n_failed = native.decode_batch(paths, self.ds.image_size)
+            dec, dims, n_failed = native.decode_batch(
+                paths, self.ds.image_size, fast_scale=self.fast_decode
+            )
             metas = [
                 self.ds.sample_meta(
                     int(i), rng, image=dec[j], W=int(dims[j, 0]), H=int(dims[j, 1])
@@ -349,8 +353,12 @@ def get_dataloaders(cfg, vocab_path: str | None = None):
         max_objects=cfg.max_objects,
         attribute_dim=cfg.attribute_dim,
     )
+    fast = getattr(cfg, "fast_decode", True)
     return (
-        Loader(train, cfg.batch_size, shuffle=True, seed=cfg.seed),
-        Loader(val, cfg.batch_size, shuffle=False, seed=cfg.seed, num_threads=1),
+        Loader(train, cfg.batch_size, shuffle=True, seed=cfg.seed, fast_decode=fast),
+        Loader(
+            val, cfg.batch_size, shuffle=False, seed=cfg.seed, num_threads=1,
+            fast_decode=fast,
+        ),
         vocab,
     )

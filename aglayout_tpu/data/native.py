@@ -54,6 +54,7 @@ def load_lib():
         ctypes.c_int,  # num_threads
         ctypes.POINTER(ctypes.c_float),  # out (n, size, size, 3)
         ctypes.POINTER(ctypes.c_int32),  # dims (n, 2): original W, H
+        ctypes.c_int,  # fast_scale (DCT-domain scaled decode)
     ]
     lib.decode_batch.restype = ctypes.c_int
     _LIB = lib
@@ -113,11 +114,17 @@ def normalize_images(images_u8):
     return out
 
 
-def decode_batch(paths, size: int, num_threads: int = 1):
+def decode_batch(paths, size: int, num_threads: int = 1, fast_scale: bool = False):
     """JPEG decode + PIL-compatible bilinear resize + imagenet normalize for
     a batch of files (native/datapath.cpp decode_batch). Returns
-    (images (n, size, size, 3) f32, dims (n, 2) i32 [W, H], n_failed);
-    failed slots have dims == 0 — fall back to PIL per file.
+    (images (n, size, size, 3) f32, dims (n, 2) i32 [original W, H],
+    n_failed); failed slots have dims == 0 — fall back to PIL per file.
+
+    fast_scale=True enables libjpeg DCT-domain scaled decode (1/2..1/8, the
+    largest reduction keeping the decoded image >= size per axis): up to
+    ~16x less decode work per VG image at 64^2, within ~1-2/255 of the
+    full-res resample (tests/test_native.py tolerance test). The production
+    Loader uses it; parity-sensitive callers keep the default off.
     """
     lib = load_lib()
     n = len(paths)
@@ -125,6 +132,7 @@ def decode_batch(paths, size: int, num_threads: int = 1):
     dims = np.zeros((n, 2), np.int32)
     arr = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
     n_failed = lib.decode_batch(
-        arr, n, size, num_threads, _ptr(out, ctypes.c_float), _ptr(dims, ctypes.c_int32)
+        arr, n, size, num_threads, _ptr(out, ctypes.c_float), _ptr(dims, ctypes.c_int32),
+        1 if fast_scale else 0,
     )
     return out, dims, n_failed

@@ -154,8 +154,18 @@ void jerr_exit(j_common_ptr cinfo) {
 }
 
 // Decode a JPEG file to RGB; returns true on success.
+//
+// min_dim > 0 enables libjpeg DCT-domain scaled decode (scale 1/2, 1/4,
+// 1/8): the largest power-of-2 reduction keeping both output dims >=
+// min_dim. For VG-sized JPEGs (~500 px) resized to 64^2 this decodes
+// ~16x fewer pixels AND skips most of the IDCT — the input pipeline's
+// dominant CPU cost on a shared host core. The DCT box-downsample
+// composed with the triangle resample below approximates the full-res
+// triangle resample to within ~1-2/255 (tested, tests/test_native.py).
+// ow/oh receive the ORIGINAL image dims (box normalization needs them);
+// w/h the decoded (possibly scaled) dims.
 bool decode_jpeg_file(const char* path, std::vector<uint8_t>& rgb, int* w,
-                      int* h) {
+                      int* h, int* ow, int* oh, int min_dim) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return false;
   jpeg_decompress_struct cinfo;
@@ -170,7 +180,21 @@ bool decode_jpeg_file(const char* path, std::vector<uint8_t>& rgb, int* w,
   jpeg_create_decompress(&cinfo);
   jpeg_stdio_src(&cinfo, f);
   jpeg_read_header(&cinfo, TRUE);
+  *ow = cinfo.image_width;
+  *oh = cinfo.image_height;
   cinfo.out_color_space = JCS_RGB;
+  if (min_dim > 0) {
+    // largest reduction keeping the decoded image >= the target per axis.
+    // Error vs the full-res resample is dominated by DCT-truncation
+    // ringing at hard edges (measured ~equal at 1/2 and 1/4 scale, mean
+    // well under 1/255), so take the full decode saving.
+    int denom = 1;
+    while (denom < 8 && (int)cinfo.image_width / (denom * 2) >= min_dim &&
+           (int)cinfo.image_height / (denom * 2) >= min_dim)
+      denom *= 2;
+    cinfo.scale_num = 1;
+    cinfo.scale_denom = (unsigned)denom;
+  }
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width;
   *h = cinfo.output_height;
@@ -272,20 +296,23 @@ extern "C" {
 
 // Decode + resize + normalize a batch of JPEG files with a thread pool.
 // paths: n C strings; out: (n, size, size, 3) float32; dims: (n, 2) int32
-// (original W, H). Returns the number of files that FAILED to decode
-// (failed slots are left zeroed with dims 0 — callers fall back per file).
+// (original W, H). fast_scale != 0 enables DCT-domain scaled decode
+// (output stays >= size per axis; ~1-2/255 delta vs full-res resample).
+// Returns the number of files that FAILED to decode (failed slots are left
+// zeroed with dims 0 — callers fall back per file).
 int decode_batch(const char** paths, int n, int size, int num_threads,
-                 float* out, int32_t* dims) {
+                 float* out, int32_t* dims, int fast_scale) {
   std::vector<int> fail(n, 0);
   auto work = [&](int t) {
     std::vector<uint8_t> rgb;
     for (int i = t; i < n; i += num_threads) {
-      int w = 0, h = 0;
-      if (decode_jpeg_file(paths[i], rgb, &w, &h)) {
+      int w = 0, h = 0, ow = 0, oh = 0;
+      if (decode_jpeg_file(paths[i], rgb, &w, &h, &ow, &oh,
+                           fast_scale ? size : 0)) {
         resize_normalize(rgb.data(), w, h, size,
                          out + (size_t)i * size * size * 3);
-        dims[i * 2] = w;
-        dims[i * 2 + 1] = h;
+        dims[i * 2] = ow;
+        dims[i * 2 + 1] = oh;
       } else {
         dims[i * 2] = 0;
         dims[i * 2 + 1] = 0;

@@ -129,3 +129,19 @@ def test_native_jpeg_decode_matches_pil(tmp_path):
         # compare in pixel units
         diff = np.abs(out[j] - ref) * std * 255.0
         assert diff.max() < 2.5, (j, diff.max())
+
+    # fast_scale: DCT-domain scaled decode (the production Loader path).
+    # Original dims must still be reported (box normalization depends on
+    # them). Pixels approximate the full-res resample: mean well under
+    # 1.5/255; the max lands on DCT-truncation ringing at this synthetic
+    # corpus's hard 20px block edges (~20/255, comparable to the JPEG
+    # quality-92 artifacts already present there).
+    out_f, dims_f, nf = native.decode_batch(paths, size, fast_scale=True)
+    assert nf == 0
+    np.testing.assert_array_equal(dims_f, dims[: len(paths)])
+    for j, p in enumerate(paths):
+        ref, _, _ = _load_image(p, size)
+        diff = np.abs(out_f[j] - ref) * std * 255.0
+        assert diff.mean() < 1.5, (j, diff.mean())
+        assert np.percentile(diff, 99) < 16.0, (j, np.percentile(diff, 99))
+        assert diff.max() < 64.0, (j, diff.max())  # gross-breakage guard

@@ -69,11 +69,13 @@ def test_sigterm_saves_checkpoint_and_resume_continues(tmp_path):
     script = tmp_path / "child.py"
     script.write_text(CHILD.format(cfg_kw=repr(cfg_kw)))
 
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     # share the suite's persistent compile cache so the child's compile is warm
-    cache = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+    cache = os.path.join(repo, ".jax_cache")
     env["JAX_COMPILATION_CACHE_DIR"] = cache
     env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "1.0"
     env["JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES"] = "0"

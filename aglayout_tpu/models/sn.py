@@ -5,7 +5,7 @@ discriminators with nn.utils.spectral_norm (models/discriminator.py:15-22).
 torch semantics reproduced here:
 
   * weight viewed as a (out, fan_in) matrix — for conv kernels that is the
-    OIHW flattening, so our HWIO kernel is transposed to (O, I*kh*kw)
+    OIHW flattening, so fan_in is ordered (in, kh, kw)
   * one power iteration per update: v = normalize(W^T u); u = normalize(W v)
   * sigma = u^T W v with u, v treated as constants (gradients flow through
     W only, including through sigma)
@@ -15,6 +15,14 @@ torch semantics reproduced here:
 
 Update cadence: the reference updates u at literally every train-mode
 forward; here updates happen when update_stats=True (once per D phase).
+
+Performance note (round 5): the matvecs and sigma are computed by einsum
+DIRECTLY on the HWIO kernel — the torch (O, I*kh*kw) matrix view is never
+materialized. The previous transpose->reshape->normalize->transpose-back
+formulation materialized two full kernel copies per apply (0.3+ ms each on
+the D trunks' 3x3x1024x1024 kernels, visible in the train-step profile);
+the einsum form is the same math with only reduction-order-level fp
+differences.
 """
 
 from __future__ import annotations
@@ -32,14 +40,14 @@ def _l2n(x):
     return x / jnp.maximum(jnp.linalg.norm(x), _EPS)
 
 
-class _SNParam(nn.Module):
-    """Owns the u/v buffers and produces the normalized weight matrix."""
+class _SNState(nn.Module):
+    """Owns the u/v power-iteration buffers ('batch_stats' collection)."""
 
     out_dim: int
     in_dim: int
 
     @nn.compact
-    def __call__(self, mat, update_stats: bool):
+    def __call__(self):
         u = self.variable(
             "batch_stats",
             "u",
@@ -50,17 +58,7 @@ class _SNParam(nn.Module):
             "v",
             lambda: _l2n(jax.random.normal(self.make_rng("params"), (self.in_dim,), jnp.float32)),
         )
-        matf = mat.astype(jnp.float32)
-        if update_stats and not self.is_initializing():
-            v_new = _l2n(jax.lax.stop_gradient(matf).T @ u.value)
-            u_new = _l2n(jax.lax.stop_gradient(matf) @ v_new)
-            u.value = u_new
-            v.value = v_new
-            uu, vv = u_new, v_new
-        else:
-            uu, vv = u.value, v.value
-        sigma = uu @ matf @ vv
-        return (matf / sigma).astype(mat.dtype)
+        return u, v
 
 
 class SNConv2d(nn.Module):
@@ -81,10 +79,25 @@ class SNConv2d(nn.Module):
         kernel = self.param(
             "kernel", torch_uniform_init(fan_in), (k, k, in_ch, self.features), jnp.float32
         )
-        # torch views the OIHW weight as (O, I*kh*kw)
-        mat = kernel.transpose(3, 2, 0, 1).reshape(self.features, -1)
-        mat_bar = _SNParam(self.features, fan_in, name="sn")(mat, update_stats)
-        kernel_bar = mat_bar.reshape(self.features, in_ch, k, k).transpose(2, 3, 1, 0)
+        u, v = _SNState(self.features, fan_in, name="sn")()
+        init = self.is_initializing()
+        kf = kernel  # f32 (kh, kw, in, out); torch W view is (out, in*kh*kw)
+        if update_stats and not init:
+            kd = jax.lax.stop_gradient(kf)
+            # v = normalize(W^T u): (in, kh, kw) ordering == OIHW fan_in order
+            v_new = _l2n(jnp.einsum("hwio,o->ihw", kd, u.value).reshape(-1))
+            u_new = _l2n(jnp.einsum("hwio,ihw->o", kd, v_new.reshape(in_ch, k, k)))
+            u.value = u_new
+            v.value = v_new
+            uu, vv = u_new, v_new
+        else:
+            uu, vv = u.value, v.value
+        sigma = jnp.einsum("hwio,ihw,o->", kf, vv.reshape(in_ch, k, k), uu)
+        # NOTE scale the KERNEL, not the conv output: TPU convs lower to
+        # custom-calls, so an output scale cannot fuse and costs a full
+        # HBM pass over the (much larger) activations — measured 1.61 vs
+        # 1.72 steps/s on the 128^2 b=32 train step.
+        kernel_bar = kf / sigma
         dtype = self.dtype or x.dtype
         y = jax.lax.conv_general_dilated(
             x.astype(dtype),
@@ -110,10 +123,21 @@ class SNDense(nn.Module):
     def __call__(self, x, update_stats: bool = True):
         in_f = x.shape[-1]
         kernel = self.param("kernel", torch_uniform_init(in_f), (in_f, self.features), jnp.float32)
-        mat = kernel.T  # torch Linear weight is (out, in)
-        mat_bar = _SNParam(self.features, in_f, name="sn")(mat, update_stats)
+        u, v = _SNState(self.features, in_f, name="sn")()
+        init = self.is_initializing()
+        kf = kernel  # f32 (in, out); torch W view is (out, in)
+        if update_stats and not init:
+            kd = jax.lax.stop_gradient(kf)
+            v_new = _l2n(jnp.einsum("io,o->i", kd, u.value))
+            u_new = _l2n(jnp.einsum("io,i->o", kd, v_new))
+            u.value = u_new
+            v.value = v_new
+            uu, vv = u_new, v_new
+        else:
+            uu, vv = u.value, v.value
+        sigma = jnp.einsum("io,i,o->", kf, vv, uu)
         dtype = self.dtype or x.dtype
-        y = x.astype(dtype) @ mat_bar.T.astype(dtype)
+        y = x.astype(dtype) @ (kf / sigma).astype(dtype)
         if self.use_bias:
             bias = self.param("bias", torch_uniform_init(in_f), (self.features,), jnp.float32)
             y = y + bias.astype(dtype)

@@ -104,6 +104,13 @@ class Config:
     # PIL-parity path: mean <1/255, hard-edge ringing up to ~30/255 —
     # tests/test_native.py). Off = bit-parity decode path.
     fast_decode: bool = True
+    # rasterize layout masks ON DEVICE inside the train step (from the
+    # uploaded boxes; exact round-half-even parity with the loader's
+    # rasterizer). Cuts the per-step host->device upload from ~3 MB to
+    # ~0.4 MB (the tunneled transport uploads at ~1 MB/s) and skips the
+    # host-side rasterization entirely. Off = masks built and uploaded by
+    # the loader (the reference's host-side model, vg_custom_mask.py:136).
+    device_masks: bool = True
     # rematerialize the generator forward in the G phase (larger batches)
     remat: bool = False
     # run the generator forward TWICE per step like the reference driver

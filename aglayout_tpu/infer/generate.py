@@ -166,12 +166,19 @@ def run_inference(
         probs = expit(np.asarray(att_logits_rand))
         metrics.update((probs[annotated] > 0.9).astype(np.float32), att_np[annotated])
 
-        # attribute modification: remove colors, set target (test64.py:170-185)
+        # attribute modification: remove colors, set target (test64.py:170-185).
+        # The color-id list and default target are VG's 106-attribute vocab;
+        # on smaller vocabs (synthetic corpora) keep only in-range ids so the
+        # edit demo still exercises the pipeline instead of crashing.
+        att_dim = int(batch["attribute"].shape[-1])
+        color_ids = [i for i in COLOR_ATTRIBUTE_IDS if i < att_dim]
+        tgt = edit_target if edit_target < att_dim else att_dim - 1
         att_mod = np.asarray(batch["attribute"]).copy()
         est_mod = np.asarray(attribute_est).copy()
         for a in (att_mod, est_mod):
-            a[..., COLOR_ATTRIBUTE_IDS] = 0
-            a[..., edit_target] = 1
+            if color_ids:
+                a[..., color_ids] = 0
+            a[..., tgt] = 1
         z2 = jax.random.normal(kz2, (b, o, cfg.z_dim))
         out_mod, att_logits_mod = forward(
             g_vars, da_vars, batch, z2, jnp.asarray(att_mod), jnp.asarray(est_mod), kr2
@@ -182,8 +189,8 @@ def run_inference(
         logits_mod = np.asarray(att_logits_mod)
         top5 = np.argsort(-logits, axis=1)[:, :5]
         top3 = np.argsort(-logits_mod, axis=1)[:, :3]
-        candidates = valid_f & ~(top5 == edit_target).any(1)
-        success = candidates & (top3 == edit_target).any(1)
+        candidates = valid_f & ~(top5 == tgt).any(1)
+        success = candidates & (top3 == tgt).any(1)
         n_edit_candidates += int(candidates.sum())
         n_edit_success += int(success.sum())
 

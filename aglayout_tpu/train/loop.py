@@ -16,7 +16,6 @@ import numpy as np
 
 from aglayout_tpu.config import Config
 from aglayout_tpu.data.vocab import attribute_pos_weight
-from aglayout_tpu.ops.image import imagenet_deprocess_batch
 from aglayout_tpu.parallel import make_mesh, make_sharded_train_step, replicated, shard_batch
 from aglayout_tpu.train.state import Models, create_train_state
 from aglayout_tpu.train.step import make_train_step
@@ -150,26 +149,12 @@ def train(cfg: Config, loader=None, niter: int | None = None, use_tensorboard: b
             )
             # real + generated grids, same tags as the reference
             # (train64.py:394-402); the fakes come out of the train step's
-            # own G forward, so the grids show exactly what trained
+            # own G forward, so the grids show exactly what trained. The
+            # step deprocesses to uint8 and caps to 8 images ON DEVICE, so
+            # only small uint8 grids cross the (slow) device->host link.
             fake = metrics["images"]
-            b, o = batch["objs"].shape
-            s = cfg.object_size
-
-            def grid(x, crop=False):
-                if crop:  # (B, O, s, s, 3) -> per-crop rescale
-                    x = x.reshape((b * o, s, s, 3))
-                return np.asarray(imagenet_deprocess_batch(x))
-
             logger.log_images(
-                i + 1,
-                {
-                    "Result/img_real": grid(batch["imgs"]),
-                    "Result/img_real_rec": grid(fake["img_real_rec"]),
-                    "Result/img_fake_rand": grid(fake["img_fake_rand"]),
-                    "Result/crop_real": grid(fake["crop_real"], crop=True),
-                    "Result/crop_real_rec": grid(fake["crop_real_rec"], crop=True),
-                    "Result/crop_rand": grid(fake["crop_rand"], crop=True),
-                },
+                i + 1, {f"Result/{k}": np.asarray(v) for k, v in fake.items()}
             )
         if (i + 1) % cfg.save_step == 0:
             save_state(dirs["models"], i + 1, state, cfg.save_num)

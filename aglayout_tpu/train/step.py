@@ -346,17 +346,32 @@ def make_train_step(cfg: Config, models: Models, matrix, pos_weight):
                 "G/object_att_cls_loss": g_att_cls,
             }
             # generated-image grids for TensorBoard (train64.py:390-402);
-            # already computed by the G forward — returning them costs no
-            # extra FLOPs, and the loop only fetches them at
-            # tensorboard_step
+            # already computed by the G forward. Deprocessed to uint8 ON
+            # DEVICE and capped to the first 8 images (the reference's
+            # batch size): the loop previously fetched ~37 MB of f32 per
+            # log window over a device->host transport that runs at ~KB/s
+            # on tunneled TPUs; this makes each grid fetch ~15x smaller.
+            from aglayout_tpu.ops.image import imagenet_deprocess_batch
+
+            gi = min(8, b)
+            s_obj = cfg.object_size
+
+            def grid_imgs(x):
+                return imagenet_deprocess_batch(jax.lax.stop_gradient(x[:gi]))
+
+            def grid_crops(x):
+                return imagenet_deprocess_batch(
+                    jax.lax.stop_gradient(x[:gi]).reshape(gi * o, s_obj, s_obj, 3)
+                )
+
             images = {
-                "crop_real": out["crops_input"],
-                "crop_real_rec": out["crops_input_rec"],
-                "crop_rand": out["crops_rand"],
-                "img_real_rec": out["img_rec"],
-                "img_fake_rand": out["img_rand"],
+                "img_real": grid_imgs(batch["imgs"]),
+                "crop_real": grid_crops(out["crops_input"]),
+                "crop_real_rec": grid_crops(out["crops_input_rec"]),
+                "crop_rand": grid_crops(out["crops_rand"]),
+                "img_real_rec": grid_imgs(out["img_rec"]),
+                "img_fake_rand": grid_imgs(out["img_rand"]),
             }
-            images = jax.tree.map(jax.lax.stop_gradient, images)
             return g_loss, {"metrics": metrics, "images": images}
 
         if getattr(cfg, "double_g_forward", False):
